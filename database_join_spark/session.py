@@ -1,0 +1,79 @@
+"""SparkSession factory and session configuration.
+
+The reference engine hand-tunes its physical execution (hash-table
+sizing ``q4112_hj_1.c:20-27``, thread fan-out ``q4112.c:532-551``,
+cache-resident partial aggregation ``q4112.c:225-237``). On Spark all
+of that is the job of Catalyst/Tungsten/AQE — our only job is to turn
+the right knobs on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to every session we touch (including
+#: driver-provided sessions, via :func:`configure_session`). These are
+#: all session-level (not spark.master-level), so they are safe to set
+#: on an already-running session.
+RUNTIME_CONFS: dict[str, str] = {
+    # AQE = the runtime analogue of the reference's Flajolet–Martin
+    # pre-sizing (q4112.c:86-117): statistics at shuffle boundaries
+    # re-plan joins, coalesce partitions, and split skewed ones.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Naive timestamps in the parquet fixtures must read identically in
+    # Spark and the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every pandas interchange (pandas_udf, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply our runtime confs to an existing session (idempotent).
+
+    The correctness driver owns its SparkSession; queries call this to
+    guarantee deterministic timezone/AQE behavior regardless of how the
+    session was built.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable in this deployment — keep going; each conf
+            # is an optimization or determinism aid, not a hard dep.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "database-join-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a local session sized like the test environment.
+
+    ``local[N]`` stands in for an N-slot executor fleet; shuffle
+    partition count matches slot count so the tiny fixtures don't pay
+    for 200 empty partitions, while at real scale the same code runs
+    with cluster-appropriate settings (AQE coalesces either way).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return configure_session(builder.getOrCreate())
