@@ -36,7 +36,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One fixture table as a DataFrame (columnar vectorized scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS,false), which Spark's
+        # reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
+        # physical INT64 nanos and rebuild a µs timestamp — the same
+        # floor-truncation DuckDB applies when it reads TIMESTAMP_NS,
+        # so both engines see identical values.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(

@@ -45,10 +45,15 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
+    def is_null(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
     s, d = _canon(spark_pdf), _canon(duck_pdf)
     for col in s.columns:
         sv, dv = list(s[col]), list(d[col])
         for i, (a, b) in enumerate(zip(sv, dv)):
+            if is_null(a) and is_null(b):
+                continue
             if a != b:
                 raise AssertionError(
                     f"{name}: value mismatch col={col} row={i}: "
