@@ -151,8 +151,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth includes cross-language planted dups. The single double
     division of two exact ints is bit-identical across engines.
     """
-    s = _docs(spark, sf_dir).select(
-        "doc_id", D.shingles("text", SHINGLE_N).alias("sh")
+    s = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id", D.shingles_from_tokens("toks", SHINGLE_N).alias("sh")
+        )
     )
     a, b = s.alias("a"), s.alias("b")
     jac = D.jaccard("a.sh", "b.sh")
@@ -187,8 +191,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_pipeline.py recall-vs-baseline on the planted
     fixtures.
     """
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", D.shingles("text", SHINGLE_N).alias("sh")
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id", D.shingles_from_tokens("toks", SHINGLE_N).alias("sh")
+        )
+        # shingling is the expensive linear pass and this plan uses it
+        # three times (signatures + both verification sides):
+        # materialize it once. At cluster scale this is a persisted/
+        # checkpointed intermediate table, same idea.
+        .persist()
     )
     cand = D.lsh_candidate_pairs(
         docs, id_col="doc_id", shingle_col="sh", num_hashes=32, bands=16
