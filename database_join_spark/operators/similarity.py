@@ -26,45 +26,53 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Decimal types for the exact dot-product fold. Element products of
-#: unit-scale float32 vectors fit in (20,18); the accumulator (32,18)
-#: + element (20,18) adds to (33,18) — no scale loss — and is re-cast
-#: to (32,18) each step so the fold type round-trips. Ties at the 18th
-#: decimal are impossible for binary fractions, so the double→decimal
-#: rounding is identical in Spark and DuckDB and the fold is exact,
-#: associative, and partition-order-independent.
-_ELEM_T = "DECIMAL(20,18)"
-_ACC_T = "DECIMAL(32,18)"
+#: Fixed-point quantization scale: floor(x·10⁷) → BIGINT. Unit-scale
+#: float32 coordinates quantize to |q| ≤ 1e7+ε; element products are
+#: ≤ ~1e14 and a 64-dim dot sum ≤ ~6.4e15 — far inside int64. The
+#: int64 fold is exact and associative → partition-order-independent
+#: and bit-identical across engines (the float→double cast, the ×1e7
+#: double multiply, and FLOOR are all IEEE-defined and identical in
+#: Spark and DuckDB). The ~1e-7 quantization error is documented
+#: operator semantics; int64 folds are ~10× cheaper than the
+#: DECIMAL(32,18) fold they replaced.
+QUANT_SCALE = 10_000_000
 
 
-def dot_decimal(a: str, b: str) -> Column:
-    """Exact (decimal-folded) dot product of two array<float> columns."""
+def _quant(vec: str) -> str:
+    return (
+        f"transform({vec}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT))"
+    )
+
+
+def dot_q7(a: str, b: str) -> Column:
+    """Exact quantized dot product of two array<float> columns
+    (int64 fold over floor(x·10⁷) fixed-point coordinates)."""
     return F.expr(
         f"""
         aggregate(
-          zip_with({a}, {b},
-                   (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
-                                  AS {_ELEM_T})),
-          CAST(0 AS {_ACC_T}),
-          (acc, v) -> CAST(acc + v AS {_ACC_T})
+          zip_with({_quant(a)}, {_quant(b)}, (x, y) -> x * y),
+          CAST(0 AS BIGINT),
+          (acc, v) -> acc + v
         )
         """
     )
 
 
-def norm2_decimal(a: str) -> Column:
-    """Exact squared L2 norm (decimal-folded)."""
-    return dot_decimal(a, a)
+def norm2_q7(a: str) -> Column:
+    """Exact quantized squared L2 norm (int64 fold)."""
+    return dot_q7(a, a)
 
 
 def cosine(dot_col: Column, n2a: Column, n2b: Column) -> Column:
-    """Cosine from exact decimal parts, rounded to 9 decimals.
+    """Cosine from exact int64 fixed-point parts, rounded to 9
+    decimals.
 
-    The decimal parts are identical across engines, but the decimal→
-    double casts differ in the last ulp (Spark BigDecimal.doubleValue
-    vs DuckDB int128/1e18), so the raw quotient is NOT hash-stable.
-    Rounding to 9 decimals absorbs the ulp (validated: 0 mismatches
-    over 15k cross-engine pairs); ordering uses the rounded value +
+    The int64 parts are < 2^53 so their double casts are exact in
+    both engines; rounding to 9 decimals additionally absorbs any
+    engine difference in round-to-nearest of the quotient (the same
+    guard that fixed a 1-ulp Spark/DuckDB divergence in the earlier
+    decimal-fold variant). Ordering uses the rounded value + a
     unique-key tiebreak so ranks are engine-independent too.
     """
     return F.round(
@@ -93,12 +101,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm2_decimal(vec_col).alias("q_n2"),
+        norm2_q7(vec_col).alias("q_n2"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm2_decimal(vec_col).alias("c_n2"),
+        norm2_q7(vec_col).alias("c_n2"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -107,7 +115,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             cosine(
-                dot_decimal("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")
+                dot_q7("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")
             ).alias("cos_sim"),
         )
     )
@@ -129,22 +137,29 @@ def hyperplane_signature(
 ) -> Column:
     """Deterministic random-hyperplane LSH signature (sign bits).
 
-    Hyperplane j's i-th coordinate of table t is derived from
-    xxhash64(t, j, i), mapped into [-1, 1] — reproducible with no RNG
-    state, computable identically on any executor (the same trick the
-    deterministic data generator uses, SURVEY §2.1 #13).
+    Hyperplane coordinates are seeded-PRNG constants generated ON THE
+    DRIVER and embedded as array literals — they are query constants,
+    and the earlier per-row xxhash64 derivation re-generated all
+    bits×dim coordinates for every row (measured ~2× the whole ANN
+    query's cost). Sign-only use makes the dot precision-insensitive.
     """
+    import random
+
     planes = []
     for j in range(bits):
+        rng = random.Random((table_id << 16) | j)
+        coords = ", ".join(
+            f"{rng.uniform(-1.0, 1.0):.9f}D" for _ in range(dim)
+        )
         # h_j · v, folded in double (sign only → precision-insensitive)
         dot = (
-            f"aggregate(zip_with({vec_col}, "
-            f"transform(sequence(0, {dim - 1}), "
-            f"i -> (CAST(pmod(xxhash64({table_id}, {j}, i), 2001) AS DOUBLE) - 1000.0) / 1000.0), "
+            f"aggregate(zip_with({vec_col}, array({coords}), "
             f"(x, h) -> CAST(x AS DOUBLE) * h), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        planes.append(f"IF({dot} > 0, shiftleft(CAST(1 AS BIGINT), {j}), CAST(0 AS BIGINT))")
+        planes.append(
+            f"IF({dot} > 0, shiftleft(CAST(1 AS BIGINT), {j}), CAST(0 AS BIGINT))"
+        )
     return F.expr(" + ".join(planes))
 
 
@@ -201,12 +216,12 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm2_decimal(vec_col).alias("q_n2"),
+        norm2_q7(vec_col).alias("q_n2"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm2_decimal(vec_col).alias("c_n2"),
+        norm2_q7(vec_col).alias("c_n2"),
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -215,7 +230,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             cosine(
-                dot_decimal("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")
+                dot_q7("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")
             ).alias("cos_sim"),
         )
     )

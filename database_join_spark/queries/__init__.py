@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from database_join_spark.queries import (  # noqa: F401
         core,
+        extras,
         pipeline,
         relational,
         streaming,

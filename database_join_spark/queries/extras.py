@@ -1,0 +1,181 @@
+"""Extended relational surface beyond SURVEY §2's inventory: as-of
+join, pivot, and the Python UDTF surface.
+
+These round out the 'a reference user could switch' completeness bar:
+time-series point-in-time joins (the operator Spark famously lacks as
+a builtin), wide-format reshaping, and table-valued functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_join_spark.catalog import table
+from database_join_spark.queries import query
+from database_join_spark.session import configure_session
+
+#: events.event_type domain (fixtures; FIXTURES.md §B) — pivot needs
+#: the column set pinned up front to keep the schema deterministic
+#: (Spark's inferring pivot runs an extra distinct job AND its column
+#: order would float with the data).
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --------------------------------------------------------------------------
+# join_asof — point-in-time (as-of) join
+# --------------------------------------------------------------------------
+@query(
+    "join_asof",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey, o_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("extras", "join"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order at-or-before the
+    event time for that user.
+
+    Spark has no built-in ASOF; the composition is equi+range join on
+    (key, time ≤ ts) then argmax-per-left-row via row_number — with an
+    explicit (o_orderdate, o_orderkey) DESC tiebreak, because DuckDB's
+    native ASOF JOIN picks an arbitrary row on time ties and an oracle
+    must not be arbitrary. At 100 TB the pair blow-up before the
+    window is the risk; the scale path is time-bucketing both sides
+    (join on (key, bucket) for the event's bucket and the preceding
+    one) — same output, bounded fan-in per bucket.
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = ev.join(
+        F.broadcast(orders),
+        (ev.user_id == orders.o_custkey)
+        & (orders.o_orderdate <= ev.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot_wide — long→wide reshaping with a pinned column domain
+# --------------------------------------------------------------------------
+@query(
+    "pivot_wide",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS n_{t}"
+               for t in EVENT_TYPES
+           )},
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END)
+                AS DOUBLE) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("extras",),
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts into one column per event type, plus a
+    pivoted decimal-stable value sum.
+
+    The pivot value list is pinned (EVENT_TYPES) so the schema is
+    deterministic and Spark skips the extra distinct-values job — at
+    100 TB an unpinned pivot is both a schema hazard and a full extra
+    scan. Under the hood this is exactly one hash aggregation with
+    conditional sums, which is what the oracle spells out.
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred;
+    # the wide contract wants 0, and column names need the n_ prefix
+    for t in EVENT_TYPES:
+        counts = counts.withColumnRenamed(t, f"n_{t}").withColumn(
+            f"n_{t}", F.coalesce(F.col(f"n_{t}"), F.lit(0)).cast("long")
+        )
+    pv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("purchase_value")
+        )
+    )
+    return counts.join(pv, "user_id", "left").withColumn(
+        "purchase_value", F.coalesce(F.col("purchase_value"), F.lit(0.0))
+    )
+
+
+# --------------------------------------------------------------------------
+# udtf_surface — Python user-defined table function (lateral)
+# --------------------------------------------------------------------------
+@query(
+    "udtf_surface",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS token
+      FROM documents
+    )
+    SELECT doc_id, token, COUNT(*) AS n
+    FROM toks GROUP BY doc_id, token
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("extras", "udf"),
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: explode each document into (token, count) rows for
+    frequent tokens (count ≥ 5).
+
+    The table-function surface (#33) — one input row yields many
+    output rows, with arbitrary Python in between. The tokenizer
+    matches the engine contract (lowercase, trim, whitespace split =
+    operators/text.py TOKENS_SQL) so the DuckDB unnest oracle is
+    exact. UDTFs are Arrow-batched per partition: no shuffle, linear
+    scan, same scale posture as mapInPandas.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    configure_session(spark)
+
+    @udtf(returnType="doc_id bigint, token string, n bigint")
+    class FrequentTokens:
+        def eval(self, doc_id: int, text: str):
+            from collections import Counter
+
+            counts = Counter(text.strip().lower().split())
+            for token, n in sorted(counts.items()):
+                if n >= 5:
+                    yield doc_id, token, n
+
+    spark.udtf.register("frequent_tokens", FrequentTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT t.doc_id, t.token, t.n "
+        "FROM __docs_udtf, LATERAL frequent_tokens(doc_id, text) t"
+    )

@@ -289,13 +289,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _N_QUERIES = 8
 _TOP_K = 5
+#: DuckDB spelling of the operators/similarity.py int64 fixed-point
+#: quantization: floor(x·10⁷) → BIGINT (see QUANT_SCALE there). A
+#: 64-dim dot of quantized coords is ≤ ~6.4e15 < 2^53, so the final
+#: BIGINT→DOUBLE cast is exact in both engines.
+_Q_DUCK = "CAST(floor(CAST({x} AS DOUBLE) * 10000000.0) AS BIGINT)"
 _DOT_DUCK = (
-    "SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) "
-    "AS DECIMAL(20,18)))"
+    f"SUM({_Q_DUCK.format(x='qv[i]')} * {_Q_DUCK.format(x='cv[i]')})"
 )
 _N2_DUCK = (
     "list_sum(list_transform({v}, x -> "
-    "CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,18))))"
+    + _Q_DUCK.format(x="x")
+    + " * "
+    + _Q_DUCK.format(x="x")
+    + "))"
 )
 
 @query(

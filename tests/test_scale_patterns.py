@@ -1,0 +1,98 @@
+"""Scale-pattern correctness: salted joins/aggs must be result-
+equivalent to their plain forms, and bucketed joins must actually
+eliminate the shuffle they exist to eliminate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from database_join_spark import plans as P
+from database_join_spark.operators import skew as K
+from tests.conftest import SF_DIR
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand"
+    ).withColumnRenamed("p_partkey", "l_partkey")
+    plain = (
+        li.join(pt, "l_partkey")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        K.salted_join(li, pt, "l_partkey", salts=4)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(plain.toPandas()), _sorted(salted.toPandas())
+    )
+
+
+def test_salted_groupby_equals_plain(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", (F.floor("l_quantity")).cast("long").alias("q")
+    )
+    plain = li.groupBy("l_returnflag").agg(F.sum("q").alias("sum_q"))
+    salted = K.salted_groupby_sum(
+        li, ["l_returnflag"], "q", "sum_q", salts=4
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(plain.toPandas()), _sorted(salted.toPandas())
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key co-locates matching
+    rows: the sort-merge join must run with ZERO Exchange operators —
+    the disk-layout analogue of the reference's shared hash table
+    being partition-aligned with the probe split (q4112_hj.c:158-170).
+    """
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("t_li_bucketed")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("t_orders_bucketed")
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bl = spark.table("t_li_bucketed")
+            bo = spark.table("t_orders_bucketed")
+            joined = bl.join(
+                bo, bl.l_orderkey == bo.o_orderkey
+            ).select("o_orderpriority", "l_extendedprice")
+            plan = P.plan_string(joined, mode="simple")
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and it still computes the right thing
+            want = li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            ).count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
