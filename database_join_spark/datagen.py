@@ -1,0 +1,133 @@
+"""Parameterized q4112-shaped data generator with an independent
+oracle — the full replacement for the reference's opaque
+``q4112_gen.o``.
+
+Contract (``q4112.h:13-41``, CLI ``q4112_main.c:45-56``): generate
+``items(id, price)`` and ``orders(item_id, store_id, quantity)``
+with parameterized size, FK selectivity, group count, and
+heavy-hitter skew — and produce the correct Part-2 answer
+independently so every configuration re-asserts end-to-end
+correctness (``q4112_main.c:127``'s ``assert(gen_res == run_res)``).
+
+Every column is pure modular arithmetic on the row index — no RNG
+state — so the same formulas evaluate identically in Spark (JVM
+expressions over ``spark.range``), in numpy (the independent oracle
+here), and in DuckDB. ``spark.range`` has no input to read:
+generation is embarrassingly parallel at any scale.
+
+Skew semantics (``q4112.h:36-41``): with probability ``hh_prob`` an
+order's store_id is drawn from the ``hh_groups`` heavy hitters,
+else from the full group domain. The Bernoulli draw is the modular
+pseudo-uniform ``(i·2654435761 + 17) mod 1000 < hh_prob·1000``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative-hash constant — the same mixer the
+#: reference uses for its hash tables (q4112_hj.c:16).
+_MIX = 2654435761
+
+
+@dataclass(frozen=True)
+class Q4112Config:
+    """Generator parameters (validation mirrors q4112_main.c:59-72)."""
+
+    inner_tuples: int = 2000
+    outer_tuples: int = 60000
+    outer_selectivity: float = 0.5  # ∈ (0.1, 1]
+    groups: int = 100
+    price_max: int = 50
+    qty_max: int = 20
+    hh_groups: int = 0
+    hh_prob: float = 0.0
+
+    def __post_init__(self) -> None:
+        assert 0.1 < self.outer_selectivity <= 1.0
+        assert 1 <= self.groups <= self.outer_tuples
+        assert 0 <= self.hh_groups <= self.groups
+        assert 0.0 <= self.hh_prob <= 1.0
+
+    @property
+    def fk_domain(self) -> int:
+        """FK values span [1, fk_domain]; only [1, inner_tuples]
+        exist ⇒ P(match) ≈ selectivity (q4112.h:31-33)."""
+        return int(round(self.inner_tuples / self.outer_selectivity))
+
+
+def q4112_frames(
+    spark: SparkSession, cfg: Q4112Config
+) -> tuple[DataFrame, DataFrame]:
+    """items / orders as DataFrames (lazy, parallel, no data read)."""
+    items = spark.range(1, cfg.inner_tuples + 1).select(
+        F.col("id"),
+        (F.col("id") * _MIX % cfg.price_max + 1).alias("price"),
+    )
+    i = F.col("id")
+    bern = (i * _MIX + 17) % 1000
+    hh_store = i % F.lit(max(cfg.hh_groups, 1)) + 1
+    reg_store = (i * 97 + 13) % cfg.groups + 1
+    store = (
+        F.when(bern < int(cfg.hh_prob * 1000), hh_store).otherwise(reg_store)
+        if cfg.hh_groups > 0
+        else reg_store
+    )
+    orders = spark.range(0, cfg.outer_tuples).select(
+        ((i * 40503 + 7) % cfg.fk_domain + 1).alias("item_id"),
+        store.alias("store_id"),
+        ((i * 31 + 3) % cfg.qty_max + 1).alias("quantity"),
+    )
+    return items, orders
+
+
+def part2_query(items: DataFrame, orders: DataFrame) -> DataFrame:
+    """The reference's Part-2 pipeline (join → per-store integer avg →
+    integer avg-of-avgs, q4112.c whole file) on generated frames."""
+    per_store = (
+        orders.join(F.broadcast(items), items.id == orders.item_id)
+        .groupBy("store_id")
+        .agg(F.expr("sum(price * quantity) DIV count(*)").alias("g"))
+    )
+    return per_store.agg(
+        F.expr("sum(g) DIV count(g)").alias("avg_of_avgs"),
+        F.count("g").alias("n_groups"),
+    )
+
+
+def part2_oracle(cfg: Q4112Config) -> tuple[int, int]:
+    """The correct Part-2 answer, computed independently in numpy
+    (the ``q4112_gen`` returns-the-answer contract, q4112.h:13).
+
+    Deliberately NOT Spark: a bug in the engine cannot cancel out in
+    the oracle. Vectorized; 1e7 rows ≈ hundreds of ms.
+    """
+    ids = np.arange(1, cfg.inner_tuples + 1, dtype=np.int64)
+    price = ids * _MIX % cfg.price_max + 1
+    price_by_id = np.zeros(cfg.fk_domain + 1, dtype=np.int64)
+    price_by_id[ids] = price  # ids ≤ fk_domain by construction
+
+    i = np.arange(cfg.outer_tuples, dtype=np.int64)
+    item_id = (i * 40503 + 7) % cfg.fk_domain + 1
+    if cfg.hh_groups > 0:
+        bern = (i * _MIX + 17) % 1000 < int(cfg.hh_prob * 1000)
+        store = np.where(
+            bern, i % cfg.hh_groups + 1, (i * 97 + 13) % cfg.groups + 1
+        )
+    else:
+        store = (i * 97 + 13) % cfg.groups + 1
+    qty = (i * 31 + 3) % cfg.qty_max + 1
+
+    matched = price_by_id[item_id] > 0
+    v = price_by_id[item_id[matched]] * qty[matched]
+    s = store[matched]
+    sums = np.bincount(s, weights=v.astype(np.float64)).astype(np.int64)
+    counts = np.bincount(s)
+    nz = counts > 0
+    g = sums[nz] // counts[nz]
+    return int(g.sum() // len(g)), int(len(g))

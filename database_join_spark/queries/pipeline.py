@@ -382,6 +382,73 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 29c. dedup_embed_cosine — embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+_COS_DUP_THRESHOLD = 0.4
+
+@query(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             {_N2_DUCK.format(v="embedding")} AS n2
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS qv, b.embedding AS cv,
+             a.n2 AS n2a, b.n2 AS n2b
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND(CAST((SELECT {_DOT_DUCK}
+                         FROM range(1, 65) t(i)) AS DOUBLE)
+               / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))),
+               9) AS cos_sim
+      FROM pairs
+    )
+    SELECT id_a, id_b, cos_sim FROM scored
+    WHERE cos_sim >= {_COS_DUP_THRESHOLD}
+    """,
+    tags=("pipeline", "dedup", "similarity"),
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup).
+
+    Pairs within the same label block whose quantized-exact cosine
+    clears 0.4 (the fixtures' planted semantic dups sit ≥0.4; the
+    background mass is far below). Label is the natural blocking key
+    here; at corpus scale with no labels the blocking key is the
+    multi-table hyperplane LSH bucket from simsearch_lsh — identical
+    join shape, payload vectors only move for co-blocked pairs.
+    """
+    configure_session(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", "embedding", S.norm2_q7("embedding").alias("n2")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            S.cosine(
+                S.dot_q7("a.embedding", "b.embedding"),
+                F.col("a.n2"),
+                F.col("b.n2"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COS_DUP_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
 # 30a. text_analysis — per-language corpus statistics
 # --------------------------------------------------------------------------
 @query(
