@@ -33,6 +33,10 @@ from database_join_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+#: Row count for the reference-workload throughput runs (the
+#: reference's published numbers all use outer = 1e9,
+#: BASELINE.md; q4112_main.c:45-56).
+THROUGHPUT_ROWS = int(os.environ.get("BENCH_THROUGHPUT_ROWS", "1000000000"))
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -49,6 +53,52 @@ def _run_once(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _throughput(spark) -> dict[str, float]:
+    """Reference-workload throughput: the q4112 Part-1/Part-2 queries
+    at the reference's own scale (1e9 outer tuples, generated — no
+    IO), directly comparable to BASELINE.md's G-tuples/s figures.
+    A fresh DataFrame per repeat defeats AQE stage reuse, so every
+    run executes the full pipeline."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from database_join_spark.datagen import (
+        Q4112Config,
+        part1_query,
+        part2_query,
+        q4112_frames,
+    )
+
+    cfg = Q4112Config(
+        inner_tuples=100,
+        outer_tuples=THROUGHPUT_ROWS,
+        groups=100,
+        outer_selectivity=1.0,
+        price_max=50,
+        qty_max=20,
+    )
+    parts = 4 * spark.sparkContext.defaultParallelism
+    # JIT warm-up: codegen'd range+agg compiles once
+    spark.range(0, THROUGHPUT_ROWS // 5).agg(F.sum("id")).collect()
+
+    out: dict[str, float] = {}
+    for name, q in [("q4112_part1", part1_query), ("q4112_part2", part2_query)]:
+        runs = []
+        for _ in range(REPEATS + 1):  # first = codegen warm-up
+            items, orders = q4112_frames(spark, cfg, parts)
+            t0 = time.perf_counter()
+            q(items, orders).collect()
+            runs.append(time.perf_counter() - t0)
+        sec = statistics.median(runs[1:])
+        out[f"{name}_sec"] = round(sec, 4)
+        out[f"{name}_gtuples_per_sec"] = round(
+            THROUGHPUT_ROWS / sec / 1e9, 4
+        )
+        print(f"# {name}: {sec:.2f} s {runs}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     registry = load_all()
     headline = {n: s for n, s in sorted(registry.items()) if s.bench}
@@ -62,6 +112,8 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
         print(f"# {name}: {timings[name]} s {runs}", file=sys.stderr)
 
+    throughput = _throughput(spark)
+
     print(
         json.dumps(
             {
@@ -70,6 +122,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "reference_workload": throughput,
+                "throughput_rows": THROUGHPUT_ROWS,
             }
         )
     )
