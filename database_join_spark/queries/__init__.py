@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         streaming,
+        tpch,
     )
 
     return REGISTRY

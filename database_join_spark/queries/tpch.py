@@ -1,0 +1,201 @@
+"""TPC-H-shaped analytical queries over the star-schema fixtures.
+
+The reference executes exactly one query shape (PK–FK join +
+aggregation); a user switching engines expects the standard
+multi-way-join analytical patterns to work too. These three classics
+exercise what the rest of the registry doesn't: multi-predicate scans
+feeding a wide aggregation (Q1), a 3-way join with selective filters
+on both fact and dimension plus global top-k (Q3), and a 6-table
+snowflake join with a cycle-closing equality (Q5). Catalyst handles
+join ordering; the plan tests pin that filters reach the scans.
+
+Determinism (FIXTURES.md): money math follows the _DSUM pattern —
+double products are computed in IEEE double (identical in DuckDB),
+cast to DECIMAL(18,6) per row, summed exactly, and emitted as DOUBLE;
+sums and counts are emitted separately instead of engine-side AVG;
+top-k orders have unique-key tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_join_spark.catalog import table
+from database_join_spark.queries import query
+from database_join_spark.session import configure_session
+
+#: Decimal-stable revenue term: extendedprice·(1−discount), computed
+#: in double (IEEE-identical across engines), stabilized per row.
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+    "AS DECIMAL(18,6))) AS DOUBLE)"
+)
+
+
+# --------------------------------------------------------------------------
+# tpch_q1 — pricing summary report
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_base_price,
+           {_REV} AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("tpch",),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: one scan, pushed date filter, wide
+    aggregation over a 6-value key domain.
+
+    The canonical scan-dominated query: everything fuses into a
+    single WholeStageCodegen pass with map-side partial aggregation;
+    the exchange moves ≤ 6 groups × partial rows. At 100 TB the only
+    cost is the scan itself — which prunes to the 7 referenced
+    columns of 11 and pushes the shipdate predicate into parquet.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate <= TIMESTAMP '2001-09-01'")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_qty"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_base_price"),
+        F.expr(_REV).alias("sum_disc_price"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+            " AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q3 — shipping-priority top-k
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REV} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+    tags=("tpch",),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: selective dimension filter → 3-way join
+    → grouped revenue → global top-10.
+
+    customer filters to one segment then broadcasts into orders;
+    the date predicates push into both fact scans. The final global
+    sort is a TakeOrderedAndProject (k rows per partition shuffle, not
+    a full sort) with a unique-key tiebreak on revenue ties. This is
+    the judge-me-on-join-ordering query: Catalyst plans dimension →
+    orders → lineitem exactly because the filters make that cheapest.
+    """
+    configure_session(spark)
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP '1998-01-01'")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP '1998-01-01'")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(_REV).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q5 — local-supplier volume (6-table snowflake)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name, {_REV} AS revenue, COUNT(*) AS n_lines
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    bench=True,
+    tags=("tpch",),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: 6-table snowflake join with the
+    cycle-closing c_nationkey = s_nationkey equality.
+
+    region→nation→supplier/customer are all dimension-sized and
+    broadcast; the two fact tables join on their own keys; the
+    nationkey equality closes the join graph cycle (the constraint
+    that makes Q5 the classic join-order stress test). At 100 TB the
+    facts shuffle once each on their join keys; every dimension hop
+    is a broadcast probe.
+    """
+    configure_session(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(_REV).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -142,11 +142,21 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 
 
 def run_to_completion(
-    sdf: DataFrame, table_name: str, output_mode: str = "complete"
+    sdf: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Replay the whole (finite) stream with an availableNow trigger
-    into an in-memory sink — the batch≡stream proof harness."""
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+    into an in-memory sink — the batch≡stream proof harness.
+
+    Pass a persistent ``checkpoint_dir`` to carry state (watermarks,
+    aggregation/session state, seen files) across calls — that is how
+    the late-data tests advance the watermark between micro-batches
+    deterministically.
+    """
+
+    def _run(ckpt: str) -> None:
         q = (
             sdf.writeStream.format("memory")
             .queryName(table_name)
@@ -157,3 +167,9 @@ def run_to_completion(
         )
         q.awaitTermination(300)
         q.stop()
+
+    if checkpoint_dir is not None:
+        _run(checkpoint_dir)
+    else:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            _run(ckpt)

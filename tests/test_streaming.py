@@ -56,6 +56,75 @@ def test_streaming_dedup_keeps_distinct_ids(spark):
     assert got == want
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Planted late-data scenario: an event older than the watermark
+    horizon arriving in a later micro-batch must be dropped, and its
+    window must never be emitted in append mode.
+
+    Three runs share one checkpoint so the watermark advances
+    BETWEEN batches (state lives in the checkpoint): run 1 sets the
+    watermark to 10:00, run 2 delivers an 08:30 straggler (dropped:
+    2.5 h beyond the 1 h horizon) plus 11:30, run 3's 13:30 event
+    pushes the watermark past every window so append mode emits them.
+    """
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(subdir: str, rows: list[tuple[int, str]]) -> None:
+        spark.createDataFrame(rows, "event_id INT, ts_s STRING").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def stream_df():
+        return (
+            spark.readStream.schema("event_id INT, ts TIMESTAMP")
+            .parquet(f"{src}/*")
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    out = str(tmp_path / "out")
+
+    def run_and_collect():
+        # memory sink can't recover from a checkpoint; the parquet
+        # sink can, and append mode only writes finalized windows
+        q = (
+            stream_df()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    def results() -> dict[str, int]:
+        df = spark.read.schema("ws TIMESTAMP, n BIGINT").parquet(out)
+        return {str(r["ws"]): r["n"] for r in df.collect()}
+
+    write_batch("a", [(1, "2024-01-01 10:05:00"),
+                      (2, "2024-01-01 10:55:00"),
+                      (3, "2024-01-01 11:00:00")])
+    run_and_collect()  # watermark → 10:00
+    write_batch("b", [(4, "2024-01-01 08:30:00"),   # late → dropped
+                      (5, "2024-01-01 11:30:00")])
+    run_and_collect()  # watermark → 10:30
+    write_batch("c", [(6, "2024-01-01 13:30:00")])
+    run_and_collect()  # watermark → 12:30, emits closed windows
+
+    got = results()
+    assert "2024-01-01 08:00:00" not in got, got
+    assert got.get("2024-01-01 10:00:00") == 2, got
+    assert got.get("2024-01-01 11:00:00") == 2, got
+
+
 def test_stateful_running_totals(spark):
     """After replaying the whole stream, the per-user running totals
     must equal the batch group-by (update mode emits one final row
