@@ -166,6 +166,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
+    # The self-join would otherwise recompute the whole
+    # shingle→signature pipeline for BOTH aliases; the banded frame
+    # is tiny ((id, band, bucket) triples — no payloads), so
+    # materializing it once is the standard signature-table pattern
+    # at any scale.
+    banded = banded.persist()
     left = banded.alias("a")
     right = banded.alias("b")
     return (

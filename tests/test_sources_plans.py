@@ -101,6 +101,35 @@ def test_flagship_fuses_into_codegen(spark):
     assert len(P.wholestage_codegen_ids(df)) >= 1
 
 
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must prune to k rows per partition BEFORE the
+    shuffle (partial WindowGroupLimit) — without it every group's
+    full contents cross the wire."""
+    df = REGISTRY["window_rank_topk"].fn(spark, SF_DIR)
+    plan = P.plan_string(df, mode="simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+
+
+def test_tpch_q1_pushes_filter_and_prunes(spark):
+    df = REGISTRY["tpch_q1"].fn(spark, SF_DIR)
+    assert any("l_shipdate" in f for f in P.pushed_filters(df))
+    # 7 of lineitem's 11 columns are referenced
+    assert all(len(cols) <= 7 for cols in P.read_schema_columns(df))
+
+
+def test_tpch_q3_is_top_k_not_full_sort(spark):
+    df = REGISTRY["tpch_q3"].fn(spark, SF_DIR)
+    P.assert_in_plan(df, "TakeOrderedAndProject")
+    assert any("c_mktsegment" in f for f in P.pushed_filters(df))
+
+
+def test_tpch_q5_broadcasts_all_dimensions(spark):
+    plan = P.plan_string(REGISTRY["tpch_q5"].fn(spark, SF_DIR))
+    # 4 dimension hops (customer, supplier, nation, region) broadcast;
+    # only the fact-fact orders⋈lineitem join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(
