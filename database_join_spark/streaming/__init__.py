@@ -107,6 +107,47 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
     )
 
 
+def click_to_purchase_join(stream: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding 24 h.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so the state store can expire rows once the
+    watermark passes the interval — the requirement that makes
+    stream-stream joins tractable (unbounded state otherwise). The
+    batch twin is the identical join on the static frame
+    (tests/test_streaming.py proves equivalence).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts > purchase_ts - INTERVAL 24 HOURS
+            """
+        ),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     per-user running event count + value total across micro-batches.

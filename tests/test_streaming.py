@@ -56,6 +56,45 @@ def test_streaming_dedup_keeps_distinct_ids(spark):
     assert got == want
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream interval join must equal the
+    same join on the static frame when the finite stream replays to
+    completion."""
+    from pyspark.sql import functions as F
+
+    ST.run_to_completion(
+        ST.click_to_purchase_join(ST.events_stream(spark, SF_DIR)),
+        "t_ssj",
+        output_mode="append",
+    )
+    stream = _sorted(spark.table("t_ssj").toPandas())
+    from database_join_spark.catalog import table as _table
+
+    ev = _table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = _sorted(
+        purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND click_ts <= purchase_ts "
+                "AND click_ts > purchase_ts - INTERVAL 24 HOURS"
+            ),
+        )
+        .select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(batch, stream)
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Planted late-data scenario: an event older than the watermark
     horizon arriving in a later micro-batch must be dropped, and its
