@@ -132,6 +132,60 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# agg_quantile_exact / agg_quantile_approx — distribution statistics
+# --------------------------------------------------------------------------
+@query(
+    "agg_quantile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.95) AS q95,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("extras", "agg"),
+)
+def agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group.
+
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont`` (type-7 linear
+    interpolation, a + (b−a)·f on the two order statistics — IEEE
+    ops on identical inputs, so hash-stable without decimal games).
+    Exact quantiles need the full sorted group; the 100 TB path is
+    the approx variant below.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.95)").alias("q95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_quantile_approx", tags=("extras", "agg", "no-oracle"))
+def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald–Khanna sketch) per group —
+    the mergeable, bounded-memory scale path (the quantile analogue
+    of #10's Flajolet–Martin cardinality sketch, q4112.c:86-117).
+
+    No DuckDB oracle (sketch internals differ between engines);
+    tests/test_extras.py pins each approx value within the accuracy
+    bound of the exact quantiles.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(l_quantity, array(0.25, 0.5, 0.95), 1000)"
+        ).alias("approx_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # udtf_surface — Python user-defined table function (lateral)
 # --------------------------------------------------------------------------
 @query(

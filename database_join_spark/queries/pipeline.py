@@ -207,13 +207,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", shingle_col="sh", num_hashes=32, bands=16
     )
     sh = docs.select(F.col("doc_id"), F.col("sh"))
+    # Broadcast the candidate-pair list into both verification joins:
+    # it is bounded by the duplicate mass (tiny relative to the
+    # corpus), and without the hint Spark may shuffle the FULL
+    # shingle table against it — the payload-motion this operator
+    # exists to avoid.
     return (
-        cand.join(
-            sh.select(
-                F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
-            ),
-            "id_a",
-        )
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        .join(F.broadcast(cand), "id_a")
         .join(
             sh.select(
                 F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
