@@ -194,10 +194,14 @@ def lsh_candidate_pairs(
 # --------------------------------------------------------------------------
 def jaccard(col_a: str, col_b: str) -> Column:
     """Exact Jaccard over two shingle-set columns (int sizes, one
-    double division → bit-identical across engines)."""
+    double division → bit-identical across engines).
+
+    NULL for two empty sets (0/0) — ``nullif`` keeps ANSI mode from
+    raising DIVIDE_BY_ZERO on degenerate documents.
+    """
     inter = F.size(F.array_intersect(F.col(col_a), F.col(col_b)))
     union = F.size(F.col(col_a)) + F.size(F.col(col_b)) - inter
-    return inter.cast("double") / union.cast("double")
+    return inter.cast("double") / F.nullif(union.cast("double"), F.lit(0.0))
 
 
 # --------------------------------------------------------------------------
