@@ -60,8 +60,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
+    # No broadcast: orders is a FACT table. The equi component
+    # (user_id = o_custkey) keys a shuffle join; the range predicate
+    # filters inside it — shuffle-safe at any scale.
     joined = ev.join(
-        F.broadcast(orders),
+        orders,
         (ev.user_id == orders.o_custkey)
         & (orders.o_orderdate <= ev.ts),
     )

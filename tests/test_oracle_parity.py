@@ -27,3 +27,6 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert rows[0]["avg_of_avgs"] > 0
+    # idempotence: a second call on the same session must return the
+    # identical result (the driver may call entry() repeatedly)
+    assert e.entry(spark).collect() == rows
