@@ -248,7 +248,54 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 33b. udf_grouped — applyInPandas (grouped-map UDF)
+# 33b. udf_grouped_agg — pandas UDAF (grouped-aggregate UDF)
+# --------------------------------------------------------------------------
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_chars * len(string_split_regex(trim(lower(text)),
+                '\\s+'))) // SUM(len(string_split_regex(trim(lower(text)),
+                '\\s+'))) AS BIGINT) AS w_avg_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("streaming", "udf"),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (a UDAF): token-weighted average
+    document length per language, in integer math.
+
+    The third UDF flavor (#33) beside scalar (udf_surface) and
+    grouped-map (udf_grouped): the UDF receives whole group columns
+    as pandas Series and returns ONE scalar — Spark still plans a
+    normal aggregation around it (partial pipelining is disabled for
+    pandas UDAFs; the group's rows shuffle to one task — the
+    documented cost of leaving the JVM for an aggregate).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    configure_session(spark)
+
+    @pandas_udf("long")
+    def weighted_avg_chars(
+        n_chars: pd.Series, n_tokens: pd.Series
+    ) -> int:
+        return int(
+            (n_chars * n_tokens).sum() // max(int(n_tokens.sum()), 1)
+        )
+
+    from database_join_spark.operators.text import token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", token_count("text").alias("n_toks")
+    )
+    return docs.groupBy("lang").agg(
+        weighted_avg_chars("n_chars", "n_toks").alias("w_avg_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# 33c. udf_grouped — applyInPandas (grouped-map UDF)
 # --------------------------------------------------------------------------
 @query(
     "udf_grouped",
