@@ -163,6 +163,91 @@ def hyperplane_signature(
     return F.expr(" + ".join(planes))
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization.
+
+    A KMeans coarse quantizer (spark.ml, seeded) partitions the
+    corpus into ``n_centroids`` cells; each query probes its
+    ``n_probe`` nearest cells and rescores exactly (quantized cosine)
+    only within them — expected cost |corpus|·n_probe/n_centroids per
+    query. At 100 TB: train the quantizer on a sample, store the cell
+    id as a partition column so a probe is a partition-pruned scan;
+    centroids are driver-side constants (n_centroids × dim floats),
+    broadcast implicitly as literals.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    corpus_fv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col)).alias("fv"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="fv", predictionCol="cell"
+    ).fit(corpus_fv.select("fv"))
+    corpus = model.transform(corpus_fv).select(
+        "neighbor_id", "c_vec", "cell", norm2_q7("c_vec").alias("c_n2")
+    )
+
+    # centroid table as literals (driver-side constants, like the LSH
+    # hyperplanes); n_probe nearest cells per query via a tiny window
+    centroids = [
+        (int(cid), [float(x) for x in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, "cell INT, centroid ARRAY<DOUBLE>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2_q7(vec_col).alias("q_n2"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(q_vec, centroid, "
+        "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("cr", F.row_number().over(wq))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "q_vec", "q_n2", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                dot_q7("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos_sim")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

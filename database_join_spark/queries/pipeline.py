@@ -383,7 +383,28 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 29c. dedup_embed_cosine — embedding-cosine near-duplicate pairs
+# 29c. simsearch_ivf — ANN via IVF coarse quantization (KMeans cells)
+# --------------------------------------------------------------------------
+@query("simsearch_ivf", tags=("pipeline", "similarity", "no-oracle"))
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN cosine top-k via IVF: seeded KMeans cells, n_probe=4 of 16.
+
+    The inverted-file alternative to simsearch_lsh (the task's 'IVF
+    or LSH' pair): a trained coarse quantizer beats data-oblivious
+    hyperplanes when the corpus clusters. No oracle (KMeans is
+    iterative/approximate); recall@5 floor vs the brute baseline in
+    tests/test_pipeline.py.
+    """
+    configure_session(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(
+        emb, queries, k=_TOP_K, n_centroids=16, n_probe=4
+    )
+
+
+# --------------------------------------------------------------------------
+# 29d. dedup_embed_cosine — embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 _COS_DUP_THRESHOLD = 0.4
 

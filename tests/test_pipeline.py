@@ -45,14 +45,17 @@ def test_simhash_finds_planted_dups(spark, truth_pairs):
     assert recall >= 0.7, f"simhash recall {recall} below floor"
 
 
-def test_lsh_topk_recall(spark):
-    """ANN top-k must overlap the exact top-k above a floor."""
+@pytest.mark.parametrize(
+    "ann,floor", [("simsearch_lsh", 0.3), ("simsearch_ivf", 0.3)]
+)
+def test_ann_topk_recall(spark, ann, floor):
+    """Both ANN paths must overlap the exact top-k above a floor."""
     exact = REGISTRY["simsearch_embed"].fn(spark, SF_DIR).collect()
-    approx = REGISTRY["simsearch_lsh"].fn(spark, SF_DIR).collect()
+    approx = REGISTRY[ann].fn(spark, SF_DIR).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.3, f"lsh ann recall@5 {recall} below floor"
+    assert recall >= floor, f"{ann} recall@5 {recall} below floor"
 
 
 def test_multimodal_schema_and_batching(spark):
