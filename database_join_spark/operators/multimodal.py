@@ -58,6 +58,51 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: real resize (PIL not in this container).
+
+    Production body: ``PIL.Image.open(io.BytesIO(payload)).resize(
+    (width, height))`` inside the same mapInPandas batch loop as
+    :func:`extract_features` — resize is per-row, shuffle-free.
+    """
+    raise NotImplementedError(
+        "image resize requires PIL; the mapInPandas plumbing is real"
+    )
+
+
+#: Output schema of the frame sampler (one row per sampled frame).
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_payload BINARY"
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: one input row → many frame rows.
+
+    The decode step is a deterministic fake (the 'video' is treated
+    as a sequence of fixed-size byte windows standing in for frames;
+    a real body uses pyav/ffmpeg inside the same loop). The Spark
+    contract is what's tested: row explosion inside ``mapInPandas``
+    with a stable schema, no shuffle, output size ∝ frames kept.
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frame_bytes = 16  # fake fixed-size frame window
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_payload": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for idx in range(0, n_frames, every_n):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(
+                        bytes(payload[idx * frame_bytes:(idx + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

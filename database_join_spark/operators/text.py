@@ -131,6 +131,39 @@ FINGERPRINT_DUCK = (
 )
 
 
+def rolling_kgram_hashes(col: str = "text", k: int = 8) -> Column:
+    """Rolling character-k-gram hashes of a document (one per
+    position). Materialize this as a COLUMN before winnowing —
+    inlining it would re-hash the whole document per reference
+    (the shingles_from_tokens lesson, operators/dedup.py)."""
+    return F.expr(
+        f"IF(length({col}) < {k}, array(), "
+        f"transform(sequence(1, length({col}) - {k - 1}), "
+        f"i -> xxhash64(substring({col}, i, {k}))))"
+    )
+
+
+def winnow_from_hashes(hash_col: str, window: int = 4) -> Column:
+    """Winnowed fingerprint selection (Schleimer/Wilkerson/Aiken MOSS
+    scheme) over a materialized rolling-hash column: keep the minimum
+    hash of each ``window`` consecutive k-grams, dedupe.
+
+    Near-duplicate documents share most selected fingerprints even
+    under local edits (the guarantee winnowing is built for), so the
+    selected-set overlap is a position-robust dup signal — the
+    'rolling hash fingerprinting' pipeline op, all Catalyst lambdas:
+    O(len·window) per doc, no shuffle, no Python.
+    """
+    return F.expr(
+        f"""
+        IF(size({hash_col}) < {window}, array(),
+           array_distinct(transform(
+             sequence(0, size({hash_col}) - {window}),
+             w -> array_min(slice({hash_col}, w + 1, {window})))))
+        """
+    )
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach per-document token/length/punctuation statistics."""
     t = tokens(col)

@@ -595,6 +595,60 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 30d. text_winnow — rolling-hash (winnowed) fingerprint dup pairs
+# --------------------------------------------------------------------------
+@query("text_winnow", tags=("pipeline", "text", "dedup", "no-oracle"))
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowed rolling-hash fingerprint overlap.
+
+    Each doc → selected fingerprint set (operators/text.py winnowing,
+    k=8 chars, window=4); pairs sharing a fingerprint bucket are
+    scored by fingerprint-set Jaccard ≥ 0.5. Blocking key = the
+    fingerprint itself (explode + self-join on it), so — like MinHash
+    banding — only co-fingerprinted pairs are ever scored and
+    payloads never move. No oracle (xxhash64); recall pinned vs the
+    exact baseline in tests/test_pipeline.py.
+    """
+    fps = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            T.rolling_kgram_hashes("text", 8).alias("kh"),
+        )
+        .select(
+            "doc_id", T.winnow_from_hashes("kh", 4).alias("fps")
+        )
+        .persist()
+    )
+    exploded = fps.select("doc_id", F.explode("fps").alias("fp"))
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    side = lambda s: fps.select(  # noqa: E731
+        F.col("doc_id").alias(f"id_{s}"), F.col("fps").alias(f"fps_{s}")
+    )
+    return (
+        side("a")
+        .join(F.broadcast(cand), "id_a")
+        .join(side("b"), "id_b")
+        .select(
+            "id_a", "id_b", D.jaccard("fps_a", "fps_b").alias("fp_jac")
+        )
+        .filter(F.col("fp_jac") >= 0.5)
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal_features — binary-column plumbing via Arrow mapInPandas
 # --------------------------------------------------------------------------
 @query(

@@ -71,9 +71,43 @@ def test_multimodal_schema_and_batching(spark):
     assert all(r["modality"] == "text-blob" for r in rows[:10])
 
 
-def test_decode_stub_raises():
-    """The image decode stub must fail loudly, not silently fake."""
-    from database_join_spark.operators.multimodal import decode_image
+def test_winnow_finds_planted_dups(spark, truth_pairs):
+    """Rolling-hash winnowed fingerprints must recover most planted
+    near-dup pairs (char-level fingerprints survive word-local
+    edits)."""
+    got = _pairs(REGISTRY["text_winnow"].fn(spark, SF_DIR))
+    recall = len(got & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.7, f"winnow recall {recall} below floor"
+
+
+def test_frame_sampling_plumbing(spark):
+    """One input row explodes into ~n_frames/every_n frame rows with
+    a stable schema — the video-sampling mapInPandas contract."""
+    from database_join_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    frames = sample_frames(attach_binary_payload(docs), every_n=5)
+    rows = frames.collect()
+    assert [f.name for f in frames.schema.fields] == [
+        "doc_id", "frame_idx", "frame_payload",
+    ]
+    assert len(rows) > 20  # explosion happened
+    assert all(r["frame_idx"] % 5 == 0 for r in rows)
+    assert all(isinstance(r["frame_payload"], (bytes, bytearray)) for r in rows[:5])
+
+
+def test_decode_stubs_raise():
+    """The image decode/resize stubs must fail loudly, not silently
+    fake."""
+    from database_join_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+    )
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\xff\xd8\xff", 224, 224)
