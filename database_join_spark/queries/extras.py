@@ -135,6 +135,72 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# agg_salted — two-phase salted aggregation (skew pattern, in the gate)
+# --------------------------------------------------------------------------
+@query(
+    "agg_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("extras", "skew"),
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted SUM grouped by a 3-value (maximally skewed)
+    key — the de-skew pattern as a gated query.
+
+    Must be bit-equal to the plain GROUP BY (associative aggregate,
+    deterministic salt), which is exactly what the oracle asserts.
+    The salt stage fans the 3 giant groups over salts×3 reducers
+    before the final 3-row merge (operators/skew.py; the reference's
+    thread-local-cache motivation, q4112.c:225-237, README-2.txt:41-43).
+    """
+    from database_join_spark.operators.skew import salted_groupby_sum
+
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.floor("l_quantity").cast("long").alias("q")
+    )
+    return salted_groupby_sum(li, ["l_returnflag"], "q", "sum_qty", salts=8)
+
+
+# --------------------------------------------------------------------------
+# source_synthdocs — custom Python DataSource in the gate
+# --------------------------------------------------------------------------
+@query(
+    "source_synthdocs",
+    oracle="""
+    SELECT CASE range % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+           WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'zh' END AS lang,
+           COUNT(*) AS n_docs
+    FROM range(0, 2000) GROUP BY 1
+    """,
+    tags=("extras", "source"),
+)
+def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the custom Python DataSource (sources/synthdocs)
+    and aggregate — proves the connector works inside the driver's
+    own session, not just under pytest.
+
+    The oracle reproduces the source's lang assignment (doc_id mod 5
+    over the requested row count) in pure SQL; sf_dir is unused (the
+    source generates its input, like the reference's q4112_gen).
+    """
+    from database_join_spark.sources.synthdocs import register
+
+    configure_session(spark)
+    register(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
 # agg_quantile_exact / agg_quantile_approx — distribution statistics
 # --------------------------------------------------------------------------
 @query(
