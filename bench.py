@@ -83,9 +83,10 @@ def _throughput(spark) -> dict[str, float]:
     spark.range(0, THROUGHPUT_ROWS // 5).agg(F.sum("id")).collect()
 
     out: dict[str, float] = {}
+    reps = max(REPEATS, 5)  # throughput runs are noisier than sf0.1
     for name, q in [("q4112_part1", part1_query), ("q4112_part2", part2_query)]:
         runs = []
-        for _ in range(REPEATS + 1):  # first = codegen warm-up
+        for _ in range(reps + 1):  # first = codegen warm-up
             items, orders = q4112_frames(spark, cfg, parts)
             t0 = time.perf_counter()
             q(items, orders).collect()
