@@ -602,12 +602,21 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnowed rolling-hash fingerprint overlap.
 
     Each doc → selected fingerprint set (operators/text.py winnowing,
-    k=8 chars, window=4); pairs sharing a fingerprint bucket are
-    scored by fingerprint-set Jaccard ≥ 0.5. Blocking key = the
+    k=8 chars, window=4); pairs sharing a RARE fingerprint are scored
+    by full fingerprint-set Jaccard ≥ 0.5. Blocking key = the
     fingerprint itself (explode + self-join on it), so — like MinHash
     banding — only co-fingerprinted pairs are ever scored and
-    payloads never move. No oracle (xxhash64); recall pinned vs the
-    exact baseline in tests/test_pipeline.py.
+    payloads never move.
+
+    Ubiquitous fingerprints are excluded from blocking (document
+    frequency ≤ 20): a fingerprint shared by d docs yields O(d²)
+    candidate pairs, and the fixtures' hottest fingerprints hit 76%
+    of the corpus (measured: df=3817 of 5000 at sf0.1 → ~7M pairs
+    from ONE fingerprint). Near-dup pairs also share rare
+    fingerprints, so the cap costs no recall — the same reason
+    search engines drop stopwords from posting-list intersection.
+    No oracle (xxhash64); recall pinned vs the exact baseline in
+    tests/test_pipeline.py.
     """
     fps = (
         _docs(spark, sf_dir)
@@ -621,10 +630,17 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     exploded = fps.select("doc_id", F.explode("fps").alias("fp"))
+    rare = (
+        exploded.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 20)
+        .select("fp")
+    )
+    blocked = exploded.join(rare, "fp")
     cand = (
-        exploded.alias("a")
+        blocked.alias("a")
         .join(
-            exploded.alias("b"),
+            blocked.alias("b"),
             (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
