@@ -255,6 +255,50 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# window_distribution — distribution window functions (ntile etc.)
+# --------------------------------------------------------------------------
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           s_nationkey,
+           ntile(4) OVER w AS quartile,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    tags=("extras", "window"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / rank / percent_rank /
+    cume_dist per nation over account balance.
+
+    Completes the window surface beyond ranking-top-k (#21) and
+    frames/lag (#22). percent_rank and cume_dist are ratios of row
+    positions — exact rationals in double — rounded to 9 decimals to
+    keep last-ulp division differences out of the hash (same guard
+    as cosine). The frame is totally ordered via the s_suppkey
+    tiebreak so every position, and hence every value, is unique.
+    """
+    configure_session(spark)
+    sup = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
 # udtf_surface — Python user-defined table function (lateral)
 # --------------------------------------------------------------------------
 @query(

@@ -140,6 +140,113 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# tpch_q6 — forecasting revenue change (pure scan + conjunctive filter)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch",),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: scan + three-way conjunctive filter + scalar aggregate.
+
+    The pure predicate-pushdown stress: all three predicates must
+    reach the parquet scan (range on shipdate, BETWEEN on discount,
+    < on quantity), after which the aggregate is a single codegen'd
+    pass with no shuffle but the final 1-row exchange.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1996-01-01' AND "
+            "l_shipdate < TIMESTAMP '1997-01-01' AND "
+            "l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        )
+    )
+    return li.agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))"
+            " AS DOUBLE)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q18 — large-volume customers (HAVING-style semi over an agg)
+# --------------------------------------------------------------------------
+_Q18_QTY = 120
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_QTY}
+    )
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN big ON big.l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch",),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: aggregate-derived semi-join (HAVING subquery) feeding a
+    3-way join and global top-k.
+
+    The 'big orders' set is itself an aggregation result — the
+    pattern where a first group-by produces the join key filter for
+    a second pass. At scale the big set is small (high HAVING cut),
+    so it broadcasts into the lineitem re-scan; the final order is a
+    TakeOrderedAndProject with unique-key tiebreak.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(18,6)))").alias("tq")
+        )
+        .filter(F.col("tq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("total_qty")
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # tpch_q5 — local-supplier volume (6-table snowflake)
 # --------------------------------------------------------------------------
 @query(
