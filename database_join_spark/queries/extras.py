@@ -255,6 +255,68 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# higher_order_funcs — array lambda surface (filter/exists/aggregate…)
+# --------------------------------------------------------------------------
+@query(
+    "higher_order_funcs",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang,
+             len(list_filter(toks, x -> strlen(x) > 4)) AS n_long,
+             CASE WHEN len(list_filter(toks, x -> strlen(x) > 8)) > 0
+                  THEN 1 ELSE 0 END AS has_xlong,
+             CAST(list_sum(list_transform(toks, x -> strlen(x)))
+                  AS BIGINT) AS total_len
+      FROM t
+    )
+    SELECT lang,
+           CAST(SUM(n_long) AS BIGINT) AS sum_long_tokens,
+           CAST(SUM(has_xlong) AS BIGINT) AS docs_with_xlong,
+           CAST(SUM(total_len) AS BIGINT) AS sum_char_len
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("extras", "functions"),
+)
+def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter / exists / aggregate over
+    token arrays, per language.
+
+    The lambda surface (filter, exists, aggregate — transform and
+    zip_with are exercised by the similarity/dedup operators) runs
+    entirely inside codegen; DuckDB's list lambdas mirror each
+    construct exactly, so the whole pack is oracle-checked. Tokens
+    materialize as a column before the three lambdas touch them
+    (the recompute lesson, operators/dedup.py).
+    """
+    from database_join_spark.operators.text import tokens as _tokens
+
+    configure_session(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", _tokens("text").alias("toks")
+    )
+    per_doc = docs.select(
+        "lang",
+        F.expr("size(filter(toks, x -> length(x) > 4))").alias("n_long"),
+        F.expr(
+            "IF(exists(toks, x -> length(x) > 8), 1, 0)"
+        ).alias("has_xlong"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("total_len"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_long").cast("long").alias("sum_long_tokens"),
+        F.sum("has_xlong").cast("long").alias("docs_with_xlong"),
+        F.sum("total_len").cast("long").alias("sum_char_len"),
+    )
+
+
+# --------------------------------------------------------------------------
 # window_distribution — distribution window functions (ntile etc.)
 # --------------------------------------------------------------------------
 @query(
