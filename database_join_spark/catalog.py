@@ -39,13 +39,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS,false), which Spark's
-        # reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
-        # physical INT64 nanos and rebuild a µs timestamp — the same
-        # floor-truncation DuckDB applies when it reads TIMESTAMP_NS,
-        # so both engines see identical values.
+        # reader rejects outright (PARQUET_TYPE_ILLEGAL). The session
+        # conf spark.sql.legacy.parquet.nanosAsLong (RUNTIME_CONFS,
+        # session.py — applied uniformly, not as a read side effect)
+        # surfaces the physical INT64 nanos; rebuild a µs timestamp —
+        # the same floor-truncation DuckDB applies when it reads
+        # TIMESTAMP_NS, so both engines see identical values.
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from database_join_spark.session import configure_session
+
+        configure_session(spark)
         return spark.read.parquet(path).withColumn(
             "ts", F.expr("timestamp_micros(ts DIV 1000)")
         )

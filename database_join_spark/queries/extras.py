@@ -96,6 +96,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     tags=("extras",),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event counts into one column per event type, plus a
@@ -145,6 +146,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("extras", "skew"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted SUM grouped by a 3-value (maximally skewed)
@@ -177,6 +179,7 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(0, 2000) GROUP BY 1
     """,
     tags=("extras", "source"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read through the custom Python DataSource (sources/synthdocs)
@@ -243,6 +246,11 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     No DuckDB oracle (sketch internals differ between engines);
     tests/test_extras.py pins each approx value within the accuracy
     bound of the exact quantiles.
+
+    The three quantiles are projected to scalar columns via
+    ``element_at`` (one shared sketch, three probes) — the driver's
+    canonicalizer sorts result columns with pandas, which cannot hash
+    an ``array<double>`` cell (CORRECTNESS_r01's only hard failure).
     """
     configure_session(spark)
     li = table(spark, sf_dir, "lineitem")
@@ -251,6 +259,12 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_approx(l_quantity, array(0.25, 0.5, 0.95), 1000)"
         ).alias("approx_q"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag",
+        F.expr("element_at(approx_q, 1)").alias("q25"),
+        F.expr("element_at(approx_q, 2)").alias("q50"),
+        F.expr("element_at(approx_q, 3)").alias("q95"),
+        "n",
     )
 
 
@@ -281,6 +295,7 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc GROUP BY lang
     """,
     tags=("extras", "functions"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: filter / exists / aggregate over
@@ -333,6 +348,7 @@ def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY s_acctbal DESC, s_suppkey)
     """,
     tags=("extras", "window"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile / rank / percent_rank /
@@ -376,6 +392,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 5
     """,
     tags=("extras", "udf"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: explode each document into (token, count) rows for

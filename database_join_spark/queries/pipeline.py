@@ -99,6 +99,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang, source
     """,
     tags=("pipeline", "dedup"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving-row counts per (lang, source) after exact dedup.
@@ -129,17 +130,18 @@ _SH_DUCK = D.shingles_duck("text", SHINGLE_N)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(a.sh) + len(b.sh)
-                    - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / NULLIF(CAST(len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0)
              AS jac
     FROM s a JOIN s b
       ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / CAST(len(a.sh) + len(b.sh)
-                   - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / NULLIF(CAST(len(a.sh) + len(b.sh)
+                   - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0)
           >= {JACCARD_THRESHOLD}
     """,
     tags=("pipeline", "dedup"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force n-gram Jaccard near-dup pairs (exact baseline).
@@ -149,7 +151,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth that pins the recall of the MinHash and SimHash scale
     paths (SURVEY §7.4 risk 4); deliberately unblocked so the ground
     truth includes cross-language planted dups. The single double
-    division of two exact ints is bit-identical across engines.
+    division of two exact ints is bit-identical across engines, and
+    the oracle mirrors Spark's NULL guard on an empty union (docs
+    with <3 tokens) — without it DuckDB computes 0/0 = NaN, orders
+    NaN above every threshold, and keeps pairs Spark drops
+    (ADVICE r01).
     """
     s = (
         _docs(spark, sf_dir)
@@ -597,7 +603,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 30d. text_winnow — rolling-hash (winnowed) fingerprint dup pairs
 # --------------------------------------------------------------------------
-@query("text_winnow", tags=("pipeline", "text", "dedup", "no-oracle"))
+@query(
+    "text_winnow",
+    tags=("pipeline", "text", "dedup", "no-oracle"),
+    gated=False,  # driver gates 50 ids; recall pinned under pytest
+)
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnowed rolling-hash fingerprint overlap.
 

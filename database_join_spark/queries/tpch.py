@@ -36,26 +36,46 @@ _REV = (
 # --------------------------------------------------------------------------
 # tpch_q1 — pricing summary report
 # --------------------------------------------------------------------------
-#: Int64 fixed-point sum of a (possibly computed) double measure at
-#: micro precision: floor(x·1e6) summed exactly in BIGINT, emitted as
-#: DOUBLE micros ÷ 1e6. Bit-identical across engines at ANY magnitude
-#: (int64→double is correctly rounded in both) and ~6× faster than
-#: the DECIMAL(18,6) fold it replaces — measured: Q1's four decimal
-#: sums were 2.1 s of its 1.8 s sf0.1 runtime; int64 sums are free.
+#: Int64 fixed-point sum of a (possibly computed, non-negative) double
+#: measure at micro precision, ~6× faster than the DECIMAL(18,6) fold
+#: it replaces (measured: Q1's four decimal sums were 2.1 s of its
+#: 1.8 s sf0.1 runtime; int64 sums are free).
+#:
+#: A single SUM of floor(x·1e6) overflows int64 near SF ≈ 40 (micros
+#: reach ~2.3e17 per SF unit — ADVICE r01), so the accumulation is
+#: split per row into the integer part m DIV 1e6 (summed dollars:
+#: ~2.3e11·SF, int64-safe to SF ≈ 4e7) and the micro remainder
+#: m % 1e6 (< 1e6 per row: ~6e12·SF, int64-safe to SF ≈ 1.5e6 — both
+#: far past the 100 TB ≈ SF 1e5 design point). The two exact BIGINT
+#: sums recombine as double(sum_dollars) + double(sum_micros)/1e6 —
+#: int64→double is correctly rounded and +,/ are IEEE-identical in
+#: Spark and DuckDB, so the emitted DOUBLE is bit-identical across
+#: engines at any SF (and exact while totals stay under 2^53).
+#: DIV/% on the non-negative m agree across engines (Spark DIV
+#: truncates, DuckDB // floors — identical for m ≥ 0).
+_M = "CAST(FLOOR(({c}) * 1000000.0) AS BIGINT)"
 _ISUM = (
-    "CAST(SUM(CAST(FLOOR(({c}) * 1000000.0) AS BIGINT)) AS DOUBLE)"
-    " / 1000000.0"
+    f"(CAST(SUM({_M} DIV 1000000) AS DOUBLE)"
+    f" + CAST(SUM({_M} % 1000000) AS DOUBLE) / 1000000.0)"
+)
+#: DuckDB spelling of the same fold: // for integer division, and
+#: SUM(BIGINT)→HUGEINT pinned back to BIGINT before the double cast
+#: (the HUGEINT→pandas float64 gotcha).
+_ISUM_DUCK = (
+    f"(CAST(CAST(SUM({_M} // 1000000) AS BIGINT) AS DOUBLE)"
+    f" + CAST(CAST(SUM({_M} % 1000000) AS BIGINT) AS DOUBLE)"
+    " / 1000000.0)"
 )
 
 @query(
     "tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_ISUM.format(c="l_quantity")} AS sum_qty,
-           {_ISUM.format(c="l_extendedprice")} AS sum_base_price,
-           {_ISUM.format(c="l_extendedprice * (1 - l_discount)")}
+           {_ISUM_DUCK.format(c="l_quantity")} AS sum_qty,
+           {_ISUM_DUCK.format(c="l_extendedprice")} AS sum_base_price,
+           {_ISUM_DUCK.format(c="l_extendedprice * (1 - l_discount)")}
              AS sum_disc_price,
-           {_ISUM.format(
+           {_ISUM_DUCK.format(
                c="l_extendedprice * (1 - l_discount) * (1 + l_tax)"
            )} AS sum_charge,
            COUNT(*) AS count_order
@@ -73,9 +93,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical scan-dominated query: everything fuses into a
     single WholeStageCodegen pass with map-side partial aggregation;
     the exchange moves ≤ 6 groups × partial rows. Money sums use the
-    int64 fixed-point fold (_ISUM — exact, associative, and ~6×
-    faster than decimal aggregation; the double products feeding it
-    are IEEE-identical across engines). At 100 TB the only cost is
+    split int64 fixed-point fold (_ISUM — exact, associative,
+    overflow-safe past SF 1e6, and ~6× faster than decimal
+    aggregation; the double products feeding it are IEEE-identical
+    across engines). At 100 TB the only cost is
     the scan itself — which prunes to the 7 referenced columns of 11
     and pushes the shipdate predicate into parquet.
     """
@@ -226,8 +247,11 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 'big orders' set is itself an aggregation result — the
     pattern where a first group-by produces the join key filter for
-    a second pass. At scale the big set is small (high HAVING cut),
-    so it broadcasts into the lineitem re-scan; the final order is a
+    a second pass. No forced broadcasts: the big set's cardinality is
+    data-dependent (the HAVING cut keeps it small, but it still grows
+    with SF) and customer scales linearly with SF, so both are left
+    to AQE, which broadcasts from measured runtime sizes instead of
+    hints that break at scale (ADVICE r01). The final order is a
     TakeOrderedAndProject with unique-key tiebreak.
     """
     configure_session(spark)
@@ -245,9 +269,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(F.broadcast(big), "l_orderkey")
+        li.join(big, "l_orderkey")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(
             F.expr(
@@ -283,12 +307,15 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local-supplier volume: 6-table snowflake join with the
     cycle-closing c_nationkey = s_nationkey equality.
 
-    region→nation→supplier/customer are all dimension-sized and
-    broadcast; the two fact tables join on their own keys; the
-    nationkey equality closes the join graph cycle (the constraint
-    that makes Q5 the classic join-order stress test). At 100 TB the
-    facts shuffle once each on their join keys; every dimension hop
-    is a broadcast probe.
+    Only the fixed-cardinality dimensions carry broadcast hints
+    (region = 5 rows, nation = 25 rows — constant at every SF);
+    customer and supplier scale linearly with SF, so forcing them
+    broadcast would break at exactly the scale this query documents
+    (BASELINE.md measures broadcast builds failing at 1e8 rows —
+    ADVICE r01). AQE broadcasts them at small SF from runtime sizes
+    and falls back to shuffle joins at large SF. The nationkey
+    equality closes the join graph cycle (the constraint that makes
+    Q5 the classic join-order stress test).
     """
     configure_session(spark)
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -305,9 +332,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r_regionkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

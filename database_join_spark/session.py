@@ -27,6 +27,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # Naive timestamps in the parquet fixtures must read identically in
     # Spark and the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 rejects parquet TIMESTAMP(NANOS) outright; with this on,
+    # every NANOS column in any table reads as BIGINT nanoseconds and
+    # the catalog rebuilds a µs timestamp explicitly (catalog.table's
+    # events handling). Set here — uniformly, for every read — rather
+    # than as a side effect of reading one table, so behavior never
+    # depends on table-read order (ADVICE r01: a per-read set leaked
+    # into the shared session).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for every pandas interchange (pandas_udf, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

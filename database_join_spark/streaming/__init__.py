@@ -49,8 +49,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-source pattern: at production scale the same code tails a
     bucket/directory as files land.
     """
-    configure_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    configure_session(spark)  # nanosAsLong et al. (RUNTIME_CONFS)
     # The file source wants a directory; the fixture is a single file,
     # so stream the directory with a glob pinned to it.
     return (

@@ -14,7 +14,7 @@ def test_approx_quantile_within_bound_of_exact(spark):
         for r in REGISTRY["agg_quantile_exact"].fn(spark, SF_DIR).collect()
     }
     approx = {
-        r["l_returnflag"]: r["approx_q"]
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q95"])
         for r in REGISTRY["agg_quantile_approx"].fn(spark, SF_DIR).collect()
     }
     assert exact.keys() == approx.keys()
