@@ -23,11 +23,14 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 # --------------------------------------------------------------------------
-# join_asof — point-in-time (as-of) join
+# join_asof / join_asof_bucketed — point-in-time (as-of) join
 # --------------------------------------------------------------------------
-@query(
-    "join_asof",
-    oracle="""
+#: Shared oracle: both physical strategies compute the same relation,
+#: so both hash-compare against the one DuckDB spelling (with an
+#: explicit (o_orderdate, o_orderkey) DESC tiebreak, because DuckDB's
+#: native ASOF JOIN picks an arbitrary row on time ties and an oracle
+#: must not be arbitrary).
+_ASOF_ORACLE = """
     WITH ranked AS (
       SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
              ROW_NUMBER() OVER (
@@ -39,43 +42,68 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     )
     SELECT event_id, user_id, o_orderkey, o_totalprice
     FROM ranked WHERE rn = 1
-    """,
-    tags=("extras", "join"),
-)
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for each event, the latest order at-or-before the
-    event time for that user.
-
-    Spark has no built-in ASOF; the composition is equi+range join on
-    (key, time ≤ ts) then argmax-per-left-row via row_number — with an
-    explicit (o_orderdate, o_orderkey) DESC tiebreak, because DuckDB's
-    native ASOF JOIN picks an arbitrary row on time ties and an oracle
-    must not be arbitrary. At 100 TB the pair blow-up before the
-    window is the risk; the scale path is time-bucketing both sides
-    (join on (key, bucket) for the event's bucket and the preceding
-    one) — same output, bounded fan-in per bucket.
     """
-    configure_session(spark)
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    # No broadcast: orders is a FACT table. The equi component
-    # (user_id = o_custkey) keys a shuffle join; the range predicate
-    # filters inside it — shuffle-safe at any scale.
-    joined = ev.join(
-        orders,
-        (ev.user_id == orders.o_custkey)
-        & (orders.o_orderdate <= ev.ts),
+    return ev, orders
+
+
+_ASOF_ARGS = dict(
+    left_key="user_id",
+    right_key="o_custkey",
+    left_time="ts",
+    right_time="o_orderdate",
+    tiebreak="o_orderkey",
+    payload=["o_totalprice"],
+)
+
+
+@query("join_asof", oracle=_ASOF_ORACLE, tags=("extras", "join"))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order at-or-before the
+    event time for that user (operators/asof.py windowed strategy).
+
+    Spark has no built-in ASOF; this strategy is equi+range join on
+    (key, time ≤ ts) then argmax per event. No broadcast: orders is a
+    FACT table — the equi component keys a shuffle join. Correct at
+    any scale, but a hot user's candidate set is ALL their earlier
+    orders per event; join_asof_bucketed bounds that fan-in.
+    """
+    from database_join_spark.operators.asof import asof_join_windowed
+
+    configure_session(spark)
+    ev, orders = _asof_inputs(spark, sf_dir)
+    return asof_join_windowed(ev, orders, **_ASOF_ARGS).select(
+        "event_id", "user_id", "o_orderkey", "o_totalprice"
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
-    )
+
+
+@query("join_asof_bucketed", oracle=_ASOF_ORACLE, tags=("extras", "join"))
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, time-bucketed strategy — the 100 TB path promised
+    by round 1's docstring, now implemented (operators/asof.py).
+
+    Both sides bucket by (user, 30-day window); candidates per event =
+    same-bucket orders (time-filtered in the equi join) plus exactly
+    one carry-forward row — the latest order from strictly earlier
+    buckets, computed as a running max over the per-(user, bucket)
+    argmax table (range frame ending at -1). Fan-in per event is
+    bounded by bucket width instead of order history length, so a hot
+    user cannot create a quadratic pair blow-up. Gated against the
+    SAME oracle as join_asof: the two strategies must be bit-equal.
+    """
+    from database_join_spark.operators.asof import asof_join_bucketed
+
+    configure_session(spark)
+    ev, orders = _asof_inputs(spark, sf_dir)
+    return asof_join_bucketed(
+        ev, orders, bucket_seconds=30 * 24 * 3600, **_ASOF_ARGS
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
 # --------------------------------------------------------------------------

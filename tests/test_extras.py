@@ -28,6 +28,68 @@ def test_approx_quantile_within_bound_of_exact(spark):
             )
 
 
+def test_asof_bucketed_equals_windowed_on_skew(spark):
+    """The bucketed as-of strategy must be bit-equal to the windowed
+    one on a hot-key workload (the pair-blow-up case it exists for),
+    across bucket widths — including a bucket wider than the whole
+    history (degenerates to pure carry-forward + one giant in-bucket)
+    and one so narrow most matches cross buckets."""
+    from datetime import datetime, timedelta
+
+    from database_join_spark.operators.asof import (
+        asof_join_bucketed,
+        asof_join_windowed,
+    )
+
+    base = datetime(2024, 1, 1)
+    events, orders = [], []
+    # hot user 1: dense events and orders interleaved over 10 days
+    for i in range(400):
+        events.append((1000 + i, 1, base + timedelta(minutes=37 * i)))
+    for j in range(300):
+        orders.append((5000 + j, 1, base + timedelta(minutes=53 * j), float(j)))
+    # exact-timestamp tie with order 5010 → tiebreak picks key 9001
+    orders.append((9001, 1, base + timedelta(minutes=53 * 10), 999.0))
+    # user 2: event precedes every order → must drop (inner semantics)
+    events.append((1, 2, base))
+    orders.append((9100, 2, base + timedelta(days=5), 1.0))
+    # user 3: lone order 400 days earlier → carry-forward across many
+    # empty buckets (and a pre-1970-safe floor bucket path)
+    events.append((2, 3, base + timedelta(days=9)))
+    orders.append((9200, 3, base - timedelta(days=400), 2.0))
+
+    ev = spark.createDataFrame(
+        events, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    od = spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    kw = dict(
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        tiebreak="o_orderkey",
+        payload=["o_totalprice"],
+    )
+    want = sorted(map(tuple, asof_join_windowed(ev, od, **kw).collect()))
+    # every hot event matches (order j=0 coincides with event i=0),
+    # user 3's lone event matches, user 2's drops
+    assert len(want) == 401
+    for bucket_seconds in (3600, 86400, 10**9):
+        got = sorted(
+            map(
+                tuple,
+                asof_join_bucketed(
+                    ev, od, bucket_seconds=bucket_seconds, **kw
+                ).collect(),
+            )
+        )
+        assert got == want, f"bucket={bucket_seconds}"
+
+
 def test_approx_distinct_within_rsd_of_exact(spark):
     """#10's HLL++ estimate must sit inside its declared rsd of the
     exact distinct count (the FM-estimate's 'right power of two'
