@@ -41,15 +41,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS,false), which Spark's
         # reader rejects outright (PARQUET_TYPE_ILLEGAL). The session
         # conf spark.sql.legacy.parquet.nanosAsLong (RUNTIME_CONFS,
-        # session.py — applied uniformly, not as a read side effect)
-        # surfaces the physical INT64 nanos; rebuild a µs timestamp —
-        # the same floor-truncation DuckDB applies when it reads
-        # TIMESTAMP_NS, so both engines see identical values.
+        # session.py — applied uniformly by configure_session at every
+        # query entry, never as a read side effect) surfaces the
+        # physical INT64 nanos; rebuild a µs timestamp — the same
+        # floor-truncation DuckDB applies when it reads TIMESTAMP_NS,
+        # so both engines see identical values.
         from pyspark.sql import functions as F
 
-        from database_join_spark.session import configure_session
-
-        configure_session(spark)
         return spark.read.parquet(path).withColumn(
             "ts", F.expr("timestamp_micros(ts DIV 1000)")
         )

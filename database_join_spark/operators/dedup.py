@@ -170,8 +170,12 @@ def lsh_candidate_pairs(
     # shingle→signature pipeline for BOTH aliases; the banded frame
     # is tiny ((id, band, bucket) triples — no payloads), so
     # materializing it once is the standard signature-table pattern
-    # at any scale.
-    banded = banded.persist()
+    # at any scale. track_persist releases it when the next query
+    # starts (the result frame still reads it, so the operator
+    # itself cannot unpersist).
+    from database_join_spark.session import track_persist
+
+    banded = track_persist(banded)
     left = banded.alias("a")
     right = banded.alias("b")
     return (

@@ -27,6 +27,7 @@ from database_join_spark.operators import similarity as S
 from database_join_spark.operators import text as T
 from database_join_spark.queries import query
 from database_join_spark.session import configure_session
+from database_join_spark.session import track_persist as _track_persist
 
 #: Near-dup decision threshold shared by the exact-Jaccard baseline and
 #: both approximate paths (the sf fixtures plant dup pairs ≥0.8; the
@@ -206,8 +207,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shingling is the expensive linear pass and this plan uses it
         # three times (signatures + both verification sides):
         # materialize it once. At cluster scale this is a persisted/
-        # checkpointed intermediate table, same idea.
-        .persist()
+        # checkpointed intermediate table, same idea. Released by the
+        # next query's configure_session (session.track_persist).
+        .transform(_track_persist)
     )
     cand = D.lsh_candidate_pairs(
         docs, id_col="doc_id", shingle_col="sh", num_hashes=32, bands=16
@@ -637,7 +639,8 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", T.winnow_from_hashes("kh", 4).alias("fps")
         )
-        .persist()
+        # released by the next query's configure_session
+        .transform(_track_persist)
     )
     exploded = fps.select("doc_id", F.explode("fps").alias("fp"))
     rare = (

@@ -40,13 +40,44 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: DataFrames persisted by the PREVIOUS query, released when the next
+#: query begins (see :func:`track_persist`).
+_PERSIST_POOL: list = []
+
+
+def track_persist(df):
+    """Persist ``df`` and release it automatically at the next query's
+    entry.
+
+    Multi-pass operators (MinHash signatures, winnowing fingerprints)
+    persist an intermediate that the RETURNED DataFrame still reads
+    from, so the query function cannot unpersist before the caller
+    collects — and never unpersisting leaks executor memory across a
+    long shared-session run of gated queries (VERDICT r01 wrong #4).
+    Contract: every gated query calls :func:`configure_session` first,
+    which drains persists left by earlier queries — by then their
+    results have been collected, so release is safe. Callers must
+    finish cataloging/persisting only after their configure_session
+    call (all queries do: it is their first statement).
+    """
+    df.persist()
+    _PERSIST_POOL.append(df)
+    return df
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply our runtime confs to an existing session (idempotent).
+    """Apply our runtime confs to an existing session (idempotent) and
+    release DataFrames persisted by previously-run queries.
 
     The correctness driver owns its SparkSession; queries call this to
     guarantee deterministic timezone/AQE behavior regardless of how the
     session was built.
     """
+    while _PERSIST_POOL:
+        try:
+            _PERSIST_POOL.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session gone or frame invalid — nothing to release
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)

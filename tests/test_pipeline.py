@@ -12,6 +12,23 @@ from tests.conftest import SF_DIR
 REGISTRY = load_all()
 
 
+def test_persisted_intermediates_released_by_next_query(spark):
+    """Multi-pass dedup operators persist intermediates the returned
+    frame still needs; the session pool must release them when the
+    NEXT query configures the session (VERDICT r01: persist() without
+    unpersist() leaked cache across a long shared-session run)."""
+    from database_join_spark import session as S
+
+    REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect()
+    assert len(S._PERSIST_POOL) > 0  # signature/shingle tables cached
+    # any subsequent query's entry drains the pool
+    REGISTRY["scan_columnar"].fn(spark, SF_DIR).collect()
+    assert S._PERSIST_POOL == []
+    # storage is actually empty once the JVM processes the release
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() in (0, 1)  # async release
+
+
 def _pairs(df):
     return {(r["id_a"], r["id_b"]) for r in df.collect()}
 
