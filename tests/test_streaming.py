@@ -174,7 +174,7 @@ def test_foreach_batch_upsert_equals_batch(spark, tmp_path):
     ST.upsert_totals_foreach_batch(
         ST.events_stream(spark, SF_DIR), target, ckpt
     )
-    got = _sorted(spark.read.parquet(target).toPandas())
+    got = _sorted(ST.read_upsert_target(spark, target).toPandas())
     want = _sorted(
         spark.read.parquet(f"{SF_DIR}/events.parquet")
         .groupBy("user_id")
@@ -185,6 +185,26 @@ def test_foreach_batch_upsert_equals_batch(spark, tmp_path):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, want)
+
+    # at-least-once replay: a FRESH checkpoint re-delivers the whole
+    # stream as batch 0 again; the committed-version guard must skip
+    # it instead of double-counting (ADVICE r01)
+    ST.upsert_totals_foreach_batch(
+        ST.events_stream(spark, SF_DIR), target, str(tmp_path / "ckpt_fb2")
+    )
+    replayed = _sorted(ST.read_upsert_target(spark, target).toPandas())
+    pd.testing.assert_frame_equal(replayed, want)
+
+    # crash mid-write: a half-written next version without a pointer
+    # repoint must be invisible to readers
+    import os
+
+    junk = os.path.join(target, "v=99")
+    os.makedirs(junk, exist_ok=True)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    crashed = _sorted(ST.read_upsert_target(spark, target).toPandas())
+    pd.testing.assert_frame_equal(crashed, want)
 
 
 def test_stateful_running_totals(spark):
