@@ -2,17 +2,27 @@
 decoded/feature-extracted via Arrow-batched ``mapInPandas``
 (SURVEY.md extension surface: image/audio/video as binary columns).
 
-The image/audio decode libraries are not in this container, so the
-actual decoders are STUBS (clearly-marked NotImplementedError); the
-Spark-side plumbing — binary schema, metadata struct, Arrow batch
-shapes, partition-preserving mapInPandas — is real and tested. At
-100 TB this pattern is the only sane one: payloads stay as parquet
+Round 2 retires round 1's decode stubs: the container has no image/
+audio libraries, so this module carries its own pure-stdlib codecs —
+a real PNG encoder/decoder (zlib chunks, CRC-32, all five scanline
+filters) and a real RIFF/WAVE PCM16 encoder/decoder (struct). The
+gated query round-trips payloads through them and the DuckDB oracle
+cross-checks the decoded-from-bytes values against closed-form
+arithmetic, so a broken byte parser fails the hash gate. Formats that
+genuinely need native libraries (JPEG/H.264) still raise — honestly —
+from :func:`decode_image`'s dispatch.
+
+At 100 TB this pattern is the only sane one: payloads stay as parquet
 binary (never JSON/base64), flow executor-side in Arrow batches, and
-feature extraction is embarrassingly parallel with zero shuffle.
+decode/feature extraction is embarrassingly parallel with zero
+shuffle.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+from binascii import crc32
 from collections.abc import Iterator
 
 import pandas as pd
@@ -20,20 +30,227 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------------------
+# PNG codec (pure stdlib: zlib + struct + crc32)
+# --------------------------------------------------------------------------
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", crc32(tag + body))
+    )
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 8-bit grayscale PNG: pixel(x, y) = (x+y+seed)%256,
+    scanlines filtered with type 0. Valid per the PNG spec (signature,
+    IHDR/IDAT/IEND, CRCs) — external viewers open it."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x + y + seed) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (all five filter types)."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0  # left
+            b = prev[i]  # up
+            c = prev[i - bpp] if i >= bpp else 0  # up-left
+            if ftype == 1:
+                line[i] = (line[i] + a) % 256
+            elif ftype == 2:
+                line[i] = (line[i] + b) % 256
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) % 256
+            elif ftype == 4:  # Paeth predictor
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                line[i] = (line[i] + pred) % 256
+        out += line
+        prev = line
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG from its actual bytes: signature, chunk walk with
+    CRC verification, IHDR fields, IDAT inflate, scanline unfilter.
+
+    Returns ``{width, height, bit_depth, color_type, pixels}`` for
+    8-bit grayscale/RGB/RGBA (pixels = raw bytes, row-major).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != crc32(tag + body):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    width, height, bit_depth, color_type = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+    if bit_depth != 8 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA supported, got depth={bit_depth} "
+            f"color_type={color_type}"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    pixels = _unfilter(zlib.decompress(idat), width, height, bpp)
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "pixels": bytes(pixels),
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload by sniffing its magic bytes.
+
+    PNG decodes natively (:func:`decode_png`); JPEG and other
+    lib-dependent formats raise — the production body would hand the
+    same bytes to PIL/libjpeg inside the same mapInPandas loop.
+    """
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode requires libjpeg/PIL, not in this container"
+        )
+    raise ValueError(f"unrecognized image magic {payload[:4]!r}")
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of an 8-bit grayscale PNG, re-encoded
+    as PNG — a real decode→transform→encode round trip (was a stub in
+    round 1). Per-row, shuffle-free inside mapInPandas."""
+    img = decode_png(payload)
+    if img["color_type"] != 0:
+        raise NotImplementedError("resize implemented for grayscale")
+    sw, sh, px = img["width"], img["height"], img["pixels"]
+    out = bytearray()
+    for y in range(height):
+        sy = y * sh // height
+        out += b"".join(
+            px[sy * sw + (x * sw // width)].to_bytes(1, "big")
+            for x in range(width)
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(out[y * width : (y + 1) * width])
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
+# WAV codec (pure stdlib: struct; PCM16 mono)
+# --------------------------------------------------------------------------
+def encode_wav(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 mono payload: sample(i) =
+    ((i * (seed % 13 + 1)) % 201 - 100) * 64. Standard 44-byte header,
+    so total size = 44 + 2·n_samples exactly (the oracle's formula)."""
+    step = seed % 13 + 1
+    data = struct.pack(
+        f"<{n_samples}h",
+        *(((i * step) % 201 - 100) * 64 for i in range(n_samples)),
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a WAV from its actual bytes: RIFF header, fmt chunk
+    (rate/channels/bits), data chunk length → sample count, plus a
+    mean-absolute-amplitude feature from the PCM samples themselves."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag, length = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # RIFF chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _, channels, sample_rate, _, _, bits = fmt
+    if bits != 16 or channels != 1:
+        raise NotImplementedError("only PCM16 mono supported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": channels,
+        "bits": bits,
+        "n_samples": n,
+        "mean_abs": sum(abs(s) for s in samples) // n if n else 0,
+    }
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing
+# --------------------------------------------------------------------------
 #: Output schema of the feature extractor (stable driver contract).
+#: Modality-inapplicable columns are NULL (e.g. a PNG's byte length
+#: depends on zlib, which no SQL oracle can recompute — so the oracle
+#: pins NULL there and pins width/height, which it CAN derive).
 FEATURE_SCHEMA = (
     "doc_id BIGINT, modality STRING, n_bytes BIGINT, "
-    "checksum BIGINT, head_hex STRING"
+    "checksum BIGINT, head_hex STRING, width BIGINT, height BIGINT, "
+    "sample_rate BIGINT, n_samples BIGINT"
 )
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Model a multimodal row: binary payload + typed metadata struct.
 
-    The fixtures have no real image bytes, so the payload is the
-    UTF-8 encoding of the text column — the *schema and motion* are
-    identical to a real image/audio pipeline (binary column + struct
-    metadata), which is what the plumbing test needs to pin down.
+    Text modality only (payload = UTF-8 bytes of the text column) —
+    the cheap JVM-side path used by the frame-sampling plumbing.
+    :func:`attach_multimodal_payload` builds the mixed-modality frame.
     """
     return df.select(
         "doc_id",
@@ -45,28 +262,45 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real image decode (PIL/libjpeg not in this container).
+def attach_multimodal_payload(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Mixed-modality payload frame: doc_id mod 3 picks PNG / WAV /
+    text, with size parameters derived arithmetically from doc_id so
+    an SQL oracle can predict what a correct decoder must report:
 
-    Cited pattern: at scale this body would be
-    ``PIL.Image.open(io.BytesIO(payload))`` + resize/normalize, still
-    inside the same mapInPandas batch loop.
+    - png:  width = 4 + doc_id % 13, height = 3 + doc_id % 7
+    - wav:  n_samples = 400 + (doc_id % 50) * 10, rate 8000 Hz
+    - text: UTF-8 bytes of the text column
+
+    Encoding runs in mapInPandas (Arrow batches, zero shuffle) — the
+    same motion a real ingest pipeline uses for binary columns.
     """
-    raise NotImplementedError(
-        "image decode requires PIL/libjpeg, not available in this "
-        "container; the mapInPandas plumbing around it is real"
-    )
 
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, modality = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                if d % 3 == 0:
+                    payloads.append(encode_png(4 + d % 13, 3 + d % 7, d))
+                    modality.append("png")
+                elif d % 3 == 1:
+                    payloads.append(encode_wav(400 + (d % 50) * 10, 8000, d))
+                    modality.append("wav")
+                else:
+                    payloads.append(text.encode("utf-8"))
+                    modality.append("text-blob")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "modality": modality,
+                }
+            )
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB: real resize (PIL not in this container).
-
-    Production body: ``PIL.Image.open(io.BytesIO(payload)).resize(
-    (width, height))`` inside the same mapInPandas batch loop as
-    :func:`extract_features` — resize is per-row, shuffle-free.
-    """
-    raise NotImplementedError(
-        "image resize requires PIL; the mapInPandas plumbing is real"
+    return df.mapInPandas(
+        _batches, schema="doc_id BIGINT, payload BINARY, modality STRING"
     )
 
 
@@ -104,27 +338,58 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Arrow-batched feature extraction over binary payloads, decoding
+    REAL binary structure: payload magic bytes are sniffed, PNGs give
+    up their IHDR dimensions (CRC-verified chunk walk), WAVs their
+    fmt/data chunk fields, text blobs keep round 1's byte features
+    (length, additive checksum mod 2^31-1, head bytes).
 
-    Deterministic fake 'features' (length, additive checksum, head
-    bytes) stand in for decode+embed; the batch loop, schema contract,
-    and zero-shuffle parallelism are the real deliverables.
+    Expects columns (doc_id, payload); zero shuffle, linear scan.
     """
+
+    def _one(doc_id: int, payload: bytes) -> dict:
+        row = {
+            "doc_id": doc_id, "modality": None, "n_bytes": None,
+            "checksum": None, "head_hex": None, "width": None,
+            "height": None, "sample_rate": None, "n_samples": None,
+        }
+        if payload[:8] == _PNG_SIG:
+            img = decode_png(payload)
+            row.update(
+                modality="png",
+                head_hex=payload[:8].hex(),
+                width=img["width"],
+                height=img["height"],
+            )
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            wav = decode_wav(payload)
+            row.update(
+                modality="wav",
+                n_bytes=len(payload),
+                sample_rate=wav["sample_rate"],
+                n_samples=wav["n_samples"],
+            )
+        else:
+            row.update(
+                modality="text-blob",
+                n_bytes=len(payload),
+                checksum=sum(payload) % 2_147_483_647,
+                head_hex=payload[:8].hex(),
+            )
+        return row
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "modality": [m["modality"] for m in pdf["meta"]],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    # additive byte checksum mod 2^31: order-free, exact
-                    "checksum": payloads.map(
-                        lambda b: sum(b) % 2_147_483_647
-                    ).astype("int64"),
-                    "head_hex": payloads.map(lambda b: b[:8].hex()),
-                }
-            )
+            rows = [
+                _one(int(d), bytes(p))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            out = pd.DataFrame(rows)
+            for c in (
+                "doc_id", "n_bytes", "checksum", "width", "height",
+                "sample_rate", "n_samples",
+            ):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
 
     return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)

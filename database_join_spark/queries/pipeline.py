@@ -684,27 +684,47 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle="""
     SELECT doc_id,
-           'text-blob' AS modality,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum([ord(text[i]) FOR i IN range(1, strlen(text) + 1)])
-                % 2147483647 AS BIGINT) AS checksum,
-           lower(hex(substr(text, 1, 8))) AS head_hex
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                ELSE 'text-blob' END AS modality,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(NULL AS BIGINT)
+             WHEN 1 THEN CAST(44 + 2 * (400 + (doc_id % 50) * 10) AS BIGINT)
+             ELSE CAST(strlen(text) AS BIGINT) END AS n_bytes,
+           CASE WHEN doc_id % 3 = 2 THEN
+             CAST(list_sum([ord(text[i]) FOR i IN range(1, strlen(text) + 1)])
+                  % 2147483647 AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS checksum,
+           CASE doc_id % 3
+             WHEN 0 THEN '89504e470d0a1a0a'
+             WHEN 1 THEN CAST(NULL AS VARCHAR)
+             ELSE lower(hex(substr(text, 1, 8))) END AS head_hex,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(4 + doc_id % 13 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(3 + doc_id % 7 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(8000 AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST(400 + (doc_id % 50) * 10 AS BIGINT) END AS n_samples
     FROM documents
     """,
     tags=("pipeline", "multimodal"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over opaque binary payloads (multimodal
-    column pattern).
+    """Feature extraction over opaque binary payloads — now decoding
+    REAL binary structure (round 1's decode stubs are retired).
 
-    Payload = UTF-8 bytes of the text column (real image/audio decode
-    is stubbed — libs absent in this container; operators/multimodal.py
-    decode_image documents the real body). The deliverable is the
-    plumbing: binary column + typed metadata struct, Arrow-batched
-    ``mapInPandas`` with a fixed output schema, zero shuffle. The
-    DuckDB oracle recomputes the deterministic features (byte length,
-    additive checksum mod 2^31-1, head bytes hex) from the text —
-    valid because the fixture text is pure ASCII (1 char = 1 byte).
+    doc_id mod 3 assigns each document a modality; payloads are real
+    PNGs (stdlib encoder: zlib IDAT, CRC-verified chunks) and real
+    RIFF/WAVE PCM16 audio (struct) with size parameters derived
+    arithmetically from doc_id, plus round 1's UTF-8 text blobs. The
+    extractor sniffs magic bytes and parses the actual containers:
+    IHDR gives width/height, fmt/data chunks give sample_rate and
+    sample count. The DuckDB oracle predicts those decoded values in
+    closed form — a decoder that misparses bytes fails the hash gate.
+    Zlib-dependent values no SQL engine can recompute (PNG byte
+    length) are pinned NULL on both sides. Arrow-batched mapInPandas,
+    zero shuffle, linear scan — the 100 TB posture is unchanged.
     """
-    payloads = M.attach_binary_payload(_docs(spark, sf_dir))
-    return M.extract_features(payloads)
+    payloads = M.attach_multimodal_payload(_docs(spark, sf_dir))
+    return M.extract_features(payloads.select("doc_id", "payload"))
