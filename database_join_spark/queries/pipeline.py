@@ -179,6 +179,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 28a'. dedup_clusters — connected components over the near-dup graph
+# --------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_SH_DUCK} AS sh FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / NULLIF(CAST(len(a.sh) + len(b.sh)
+                     - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("pipeline", "dedup"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    verified near-dup pair graph (doc_id → cluster_id = min id in
+    the component).
+
+    The step a production corpus dedup needs BETWEEN pair-finding and
+    row-filtering: pairs (a,b),(b,c) must retire b and c together,
+    which per-pair survivor logic gets wrong. Pairs here come from
+    the exact Jaccard baseline so DuckDB can oracle the whole
+    pipeline (transitive closure via recursive CTE); at corpus scale
+    the input is dedup_minhash's verified pairs — same schema, same
+    clustering (operators/dedup.py connected_components, label
+    propagation with per-round localCheckpoint).
+    """
+    configure_session(spark)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # 28b. dedup_minhash — MinHash-LSH near-dup (the scale path)
 # --------------------------------------------------------------------------
 @query("dedup_minhash", bench=True, tags=("pipeline", "dedup", "no-oracle"))
@@ -214,24 +268,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.lsh_candidate_pairs(
         docs, id_col="doc_id", shingle_col="sh", num_hashes=32, bands=16
     )
-    sh = docs.select(F.col("doc_id"), F.col("sh"))
-    # Broadcast the candidate-pair list into both verification joins:
-    # it is bounded by the duplicate mass (tiny relative to the
-    # corpus), and without the hint Spark may shuffle the FULL
-    # shingle table against it — the payload-motion this operator
-    # exists to avoid.
+    # Verification payloads attach via the semi-filtered pair join
+    # (operators/dedup.py pair_payloads): only candidate docs'
+    # shingles ever move, and no size estimate is trusted with the
+    # full shingle table (measured 1M-doc broadcast abort otherwise).
     return (
-        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-        .join(F.broadcast(cand), "id_a")
-        .join(
-            sh.select(
-                F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a", "id_b", D.jaccard("sh_a", "sh_b").alias("jac")
-        )
+        D.pair_payloads(docs, cand, id_col="doc_id", payload_col="sh")
+        .select("id_a", "id_b", D.jaccard("sh_a", "sh_b").alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
     )
 
@@ -663,13 +706,8 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    side = lambda s: fps.select(  # noqa: E731
-        F.col("doc_id").alias(f"id_{s}"), F.col("fps").alias(f"fps_{s}")
-    )
     return (
-        side("a")
-        .join(F.broadcast(cand), "id_a")
-        .join(side("b"), "id_b")
+        D.pair_payloads(fps, cand, id_col="doc_id", payload_col="fps")
         .select(
             "id_a", "id_b", D.jaccard("fps_a", "fps_b").alias("fp_jac")
         )

@@ -53,6 +53,12 @@ def synth_docs(spark, n: int):
 
 
 def minhash_pairs(docs):
+    """Returns (total verified pairs, planted pairs recovered).
+
+    A planted pair is (id-1, id) with id ≡ 1 (mod 50) — counting how
+    many of those survive LSH + exact-Jaccard verification gives
+    recall directly, since the synthetic corpus contains no other
+    near-dups at a 50k vocabulary (background Jaccard ≈ 0)."""
     from database_join_spark.operators import text as T
 
     sh = (
@@ -63,19 +69,21 @@ def minhash_pairs(docs):
     cand = D.lsh_candidate_pairs(
         sh, id_col="doc_id", shingle_col="sh", num_hashes=32, bands=16
     )
-    side = lambda s: sh.select(  # noqa: E731
-        F.col("doc_id").alias(f"id_{s}"), F.col("sh").alias(f"sh_{s}")
-    )
     out = (
-        side("a")
-        .join(F.broadcast(cand), "id_a")
-        .join(side("b"), "id_b")
+        D.pair_payloads(sh, cand, id_col="doc_id", payload_col="sh")
         .select("id_a", "id_b", D.jaccard("sh_a", "sh_b").alias("jac"))
         .filter(F.col("jac") >= 0.6)
     )
-    n = out.count()
+    planted = (
+        (F.greatest("id_a", "id_b") % 50 == 1)
+        & (F.greatest("id_a", "id_b") - F.least("id_a", "id_b") == 1)
+    )
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(planted.cast("long")).alias("hit"),
+    ).collect()[0]
     sh.unpersist()
-    return n
+    return int(row["n"]), int(row["hit"] or 0)
 
 
 def main() -> None:
@@ -86,17 +94,23 @@ def main() -> None:
     minhash_pairs(synth_docs(spark, 2_000))  # JIT/codegen warm-up
     for n in sizes:
         t0 = time.perf_counter()
-        pairs = minhash_pairs(synth_docs(spark, n))
+        pairs, hit = minhash_pairs(synth_docs(spark, n))
         dt = time.perf_counter() - t0
+        expected = (n + 48) // 50  # ids ≡ 1 (mod 50) in [1, n)
         results.append(
             {
                 "docs": n,
                 "sec": round(dt, 2),
                 "pairs": pairs,
+                "recall": round(hit / expected, 4) if expected else None,
                 "docs_per_sec": round(n / dt),
             }
         )
-        print(f"# {n} docs: {dt:.2f} s, {pairs} dup pairs", file=sys.stderr)
+        print(
+            f"# {n} docs: {dt:.2f} s, {pairs} dup pairs, "
+            f"recall {hit}/{expected}",
+            file=sys.stderr,
+        )
     print(json.dumps(results))
     spark.stop()
 

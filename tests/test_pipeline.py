@@ -52,6 +52,30 @@ def test_minhash_recall_and_precision(spark, truth_pairs):
     assert recall >= 0.9, f"minhash recall {recall} below floor"
 
 
+def test_connected_components_chain_and_triangle(spark):
+    """Label propagation must close multi-hop chains (forces several
+    rounds: the 5-node chain has diameter 4 > 1 round of propagation)
+    and keep disjoint components apart."""
+    from database_join_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12 (+ redundant edge),
+        # isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    want = (
+        {(n, 1) for n in (1, 2, 3, 4, 5)}
+        | {(n, 10) for n in (10, 11, 12)}
+        | {(n, 20) for n in (20, 21)}
+    )
+    assert got == want
+
+
 def test_simhash_finds_planted_dups(spark, truth_pairs):
     """SimHash hamming≤12 with 4-chunk pigeonhole blocking must
     recover most planted near-dup pairs. (Not all: simhash can place
