@@ -323,23 +323,48 @@ def pair_payloads(
     Scale-safe shape: semi-filter BOTH payload sides down to the
     candidate ids first — broadcasting only the distinct-id lists,
     bounded by duplicate mass — then join the two candidate-mass-
-    sized frames with an explicit SHUFFLE_HASH hint so no size
-    estimate is ever trusted with a payload table. Payloads move only
-    for docs that actually appear in a candidate pair.
+    sized frames with no hint. Static planning cannot broadcast a
+    payload table here (a semi-join output inherits its left side's
+    conservative size estimate, far over the threshold), so the
+    strategy decision falls to AQE's measured runtime sizes: at
+    fixture scale it converts to a broadcast join; at corpus scale it
+    keeps the shuffle. Either way a broadcast can only ever carry
+    candidate-mass rows, never the full table. Payloads move only for
+    docs that actually appear in a candidate pair.
     """
-    ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
-    ids_b = cand.select(F.col("id_b").alias(id_col)).distinct()
-    a = items.join(F.broadcast(ids_a), id_col, "left_semi").select(
+    from database_join_spark.session import track_persist
+
+    # The plan reads ``cand`` twice (semi filter + pair join) —
+    # without materializing it, the candidate-generation subplan (an
+    # LSH bucket self-join) re-executes per read, doubling the
+    # operator's cost at every scale. Released by the next query's
+    # entry (track_persist contract).
+    cand = track_persist(cand)
+    # a-side needs no pre-filter: joining the FULL payload frame with
+    # the broadcast pair list is itself the prune — payloads are
+    # scanned in place and only matching rows survive; nothing moves.
+    a = items.select(
         F.col(id_col).alias("id_a"),
         F.col(payload_col).alias(f"{payload_col}_a"),
     )
-    b = items.join(F.broadcast(ids_b), id_col, "left_semi").select(
+    # b-side is the hazard: a second payload join whose left side is
+    # already candidate-mass sized. Semi-filter b down to candidate
+    # ids first (no .distinct() — left_semi ignores duplicates and
+    # the broadcast is bounded by pair count either way), then leave
+    # the final join unhinted: the semi output's conservative static
+    # size estimate blocks a static broadcast of any payload table,
+    # so the strategy falls to AQE's measured runtime sizes — at
+    # fixture scale it converts to broadcast, at corpus scale it
+    # shuffles candidate-mass rows only.
+    b = items.join(
+        F.broadcast(cand.select(F.col("id_b").alias(id_col))),
+        id_col,
+        "left_semi",
+    ).select(
         F.col(id_col).alias("id_b"),
         F.col(payload_col).alias(f"{payload_col}_b"),
     )
-    return a.join(F.broadcast(cand), "id_a").join(
-        b.hint("SHUFFLE_HASH"), "id_b"
-    )
+    return a.join(F.broadcast(cand), "id_a").join(b, "id_b")
 
 
 # --------------------------------------------------------------------------
