@@ -766,3 +766,233 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     payloads = M.attach_multimodal_payload(_docs(spark, sf_dir))
     return M.extract_features(payloads.select("doc_id", "payload"))
+
+
+# --------------------------------------------------------------------------
+# 34. corpus_clean — end-to-end training-corpus cleaning pipeline
+# --------------------------------------------------------------------------
+_NTOK_DUCK = f"len({T.TOKENS_DUCK.format(c='text')})"
+
+@query(
+    "corpus_clean",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, {_NTOK_DUCK} AS n_tokens,
+             {T.FINGERPRINT_DUCK.format(c="text")} AS fp,
+             {_SH_DUCK} AS sh
+      FROM documents
+    ),
+    elig AS (SELECT * FROM d WHERE n_tokens BETWEEN 20 AND 90),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM elig
+    ),
+    uniq AS (SELECT doc_id, lang, n_tokens, sh FROM ranked WHERE rn = 1),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM uniq a JOIN uniq b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / NULLIF(CAST(len(a.sh) + len(b.sh)
+                     - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 0.0)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cl AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    kept AS (
+      SELECT u.lang, u.n_tokens
+      FROM uniq u LEFT JOIN cl ON u.doc_id = cl.node
+      WHERE cl.node IS NULL OR cl.cluster_id = u.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM kept GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "text"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality gate → exact dedup
+    → near-dup cluster retire → per-language kept counts/token mass.
+
+    The composed shape a real pretraining-data job runs nightly,
+    verified as ONE oracle so stage interactions (a quality-rejected
+    doc must not retire its near-dup twin; a fingerprint survivor must
+    still lose to a near-dup cluster minimum) are pinned end-to-end:
+
+    1. quality gate: 20 ≤ whitespace tokens ≤ 90 (drops ~17% of the
+       fixture corpus) — per-row filter, fused into the scan;
+    2. exact dedup: min-doc_id survivor per token-set fingerprint —
+       one shuffle of (16-byte fp, id);
+    3. near-dup retire: pairs → connected components
+       (operators/dedup.py) → keep each cluster's min id. Pairs here
+       come from the exact-Jaccard baseline so DuckDB can oracle the
+       whole pipeline; at corpus scale the drop-in pair source is
+       dedup_minhash's verified candidates (same schema). The cluster
+       map is bounded by duplicate mass → broadcast into the retire
+       join;
+    4. summary: per-lang counts + kept token mass (exact BIGINT sums).
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        T.fingerprint("text").alias("fp"),
+        T.tokens("text").alias("toks"),
+    )
+    elig = docs.filter(F.col("n_tokens").between(20, 90))
+    uniq = D.dedup_exact(elig, ["fp"], "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        D.shingles_from_tokens("toks", SHINGLE_N).alias("sh"),
+    )
+    uniq = _track_persist(uniq)  # read by pair join (×2) + retire join
+    a, b = uniq.alias("a"), uniq.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.jaccard("a.sh", "b.sh").alias("jac"),
+        )
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    clusters = D.connected_components(pairs)  # (id, cluster_id)
+    kept = uniq.join(
+        F.broadcast(clusters),
+        uniq.doc_id == clusters.id,
+        "left",
+    ).filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 35. dedup_incremental — new-batch dedup against an existing corpus
+# --------------------------------------------------------------------------
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             {T.FINGERPRINT_DUCK.format(c="text")} AS fp
+      FROM documents
+    ),
+    batch AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+    corpus AS (SELECT fp FROM f WHERE doc_id % 5 <> 0),
+    fresh AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh
+    )
+    SELECT doc_id, lang, source, fp FROM r WHERE rn = 1
+    """,
+    tags=("pipeline", "dedup"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit only new-batch docs that are novel
+    against the existing corpus AND within their own batch.
+
+    The daily-increment shape of a crawl pipeline: the corpus is
+    never re-deduplicated — the new batch (here doc_id % 5 = 0, a
+    deterministic ~20% slice standing in for today's arrivals)
+    anti-joins the corpus fingerprint store, then exact-dedups
+    within itself (min-doc_id survivor). At 100 TB the anti join
+    shuffles only (16-byte fp, id) pairs on both sides — corpus
+    payloads never move, and the corpus side is read as a
+    fingerprint-only columnar projection. Batch-side payload columns
+    ride the batch's own (small) shuffle.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", T.fingerprint("text").alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("fp")
+    fresh = batch.join(corpus, "fp", "left_anti")
+    return D.dedup_exact(fresh, ["fp"], "doc_id").select(
+        "doc_id", "lang", "source", "fp"
+    )
+
+
+# --------------------------------------------------------------------------
+# 36. embed_quantize — embedding normalization / int8 quantization stats
+# --------------------------------------------------------------------------
+#: Power-of-two quantization step (1/64): x·64 is EXACT in binary
+#: floating point, so floor() sees the same value in every engine —
+#: no 1-ulp hazard (the determinism rule behind QUANT_SCALE's floor).
+_QSTEP = 64
+_Q8_DUCK = (
+    f"list_transform(embedding, x -> GREATEST(-127, LEAST(127, "
+    f"CAST(floor(CAST(x AS DOUBLE) * {_QSTEP}.0) AS BIGINT))))"
+)
+
+@query(
+    "embed_quantize",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             len(embedding) AS dim,
+             CAST({_N2_DUCK.format(v="embedding")} AS BIGINT) AS norm2_q7,
+             {_Q8_DUCK} AS q8
+      FROM embeddings
+    )
+    SELECT vec_id, dim, norm2_q7,
+           CAST(len(list_filter(q8, v -> abs(v) = 127)) AS BIGINT)
+             AS n_saturated,
+           CAST(list_sum(q8) AS BIGINT) AS sum_q8
+    FROM q
+    """,
+    tags=("pipeline", "similarity"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-embedding int8 quantization + exact fixed-point norm stats
+    — the compression pass an embedding store runs before ANN serving.
+
+    Each vector gets: its dimension, exact squared L2 norm in int64
+    fixed-point (floor(x·10⁷) fold — operators/similarity.py
+    QUANT_SCALE), and int8 stats at a fixed power-of-two scale (q =
+    clamp(floor(x·64), ±127)): saturation count (clipped coordinates
+    = information loss) and coordinate sum (bias check). Everything
+    is integer or exact-float math, so the oracle hash can never
+    drift. Pure per-row Catalyst lambdas: one scan, zero shuffle,
+    zero Python — linear at any scale, and the output (4 ints/vector)
+    is the compact profile a 100 TB embedding-store audit would
+    materialize.
+    """
+    configure_session(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q8 = (
+        f"transform(embedding, x -> GREATEST(CAST(-127 AS BIGINT), "
+        f"LEAST(CAST(127 AS BIGINT), "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {_QSTEP}.0) AS BIGINT))))"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        S.norm2_q7("embedding").alias("norm2_q7"),
+        F.expr(f"CAST(size(filter({q8}, v -> abs(v) = 127)) AS BIGINT)")
+          .alias("n_saturated"),
+        F.expr(
+            f"aggregate({q8}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("sum_q8"),
+    )
