@@ -37,6 +37,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for every pandas interchange (pandas_udf, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: Spark 4's default ANSI mode compiles overflow/error
+    # checks into every codegen'd integer op — measured 1e9-row cost
+    # on the reference workloads: Part 1 1.01 s → 0.72 s, Part 2
+    # 1.91 s → 1.60 s (~25%). Non-ANSI is also the faithful semantics:
+    # the reference engine is unchecked C arithmetic (q4112.c passim).
+    # Correctness is unaffected because no declared query relies on
+    # ANSI errors: every division is NULL-guarded explicitly (nullif)
+    # and every aggregate's overflow headroom is designed and
+    # documented (tpch._ISUM split fold, similarity.QUANT_SCALE).
+    "spark.sql.ansi.enabled": "false",
 }
 
 
