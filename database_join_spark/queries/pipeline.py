@@ -996,3 +996,47 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate({q8}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("sum_q8"),
     )
+
+
+# --------------------------------------------------------------------------
+# 37. text_vocab — corpus vocabulary: top-k token frequencies
+# --------------------------------------------------------------------------
+_VOCAB_K = 50
+
+@query(
+    "text_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({T.TOKENS_DUCK.format(c="text")}) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS freq
+    FROM tok GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT {_VOCAB_K}
+    """,
+    tags=("pipeline", "text"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-{k} tokens by frequency — the counting
+    pass a tokenizer/BPE training job runs over the whole corpus.
+
+    explode(tokens) → count per token → top-k. The plan is the one
+    that survives 100 TB: partial (map-side) aggregation collapses
+    each partition's token stream to its local vocabulary BEFORE the
+    exchange, so the shuffle carries (token, partial_count) pairs
+    bounded by vocabulary size — not the token stream; the final
+    top-k is TakeOrderedAndProject (per-partition heaps, no global
+    sort). Tiebreak on the token string makes the cut deterministic
+    across engines.
+    """
+    toks = _docs(spark, sf_dir).select(
+        F.explode(T.tokens("text")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(_VOCAB_K)
+    )

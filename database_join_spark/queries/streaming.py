@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from database_join_spark.catalog import table
 from database_join_spark.queries import query
 from database_join_spark.session import configure_session
+from database_join_spark import streaming as CS
 
 #: Decimal-stable sum of the double `value` measure (FIXTURES.md rule 2).
 _VSUM = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
@@ -335,3 +336,41 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         stats, schema="lang string, n_docs bigint, median_chars double"
     )
+
+
+# --------------------------------------------------------------------------
+# 31d. stream_interval_join — stream-stream interval join (batch twin)
+# --------------------------------------------------------------------------
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS p_user,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 24 HOURS
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming",),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution: each purchase joined to the same
+    user's clicks in the preceding 24 h (streaming/__init__.py
+    click_to_purchase_join run on the static frame).
+
+    The SAME function drives the true readStream form —
+    tests/test_streaming.py proves batch≡stream equivalence — and
+    this registry entry pins its values against a DuckDB oracle. Both
+    sides carry watermarks and the join condition bounds event-time
+    distance, so streaming state expires once the watermark passes
+    the interval (the requirement that keeps stream-stream join state
+    finite). As a batch plan it is an equi-join on user_id with the
+    interval as a post-join filter — one key-only shuffle per side,
+    skew-safe under AQE.
+    """
+    return CS.click_to_purchase_join(_events(spark, sf_dir))
