@@ -1040,3 +1040,371 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(_VOCAB_K)
     )
+
+
+# --------------------------------------------------------------------------
+# 38. decontam_ngram — benchmark decontamination by n-gram overlap
+# --------------------------------------------------------------------------
+_DECON_N = 5  # word n-gram width (real pipelines use 8-13; 5 fits fixtures)
+_DECON_MOD = 37  # doc_id % 37 == 0 marks the held-out "benchmark" split
+
+@query(
+    "decontam_ngram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {D.shingles_duck("text", _DECON_N)} AS sh
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM corpus JOIN ev USING (shingle)
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing any
+    word 5-gram with a held-out benchmark split (here the deterministic
+    doc_id % 37 == 0 slice) — the contamination check every LLM
+    training pipeline runs before a benchmark is trusted.
+
+    Scale shape (100 TB corpus, MB-scale benchmark): the benchmark
+    side collapses to a DISTINCT shingle set that is tiny relative to
+    the corpus, so it is broadcast — the corpus is scanned once, each
+    doc's (already-distinct) shingles probe the broadcast hash set,
+    and only hits reach the one shuffle (groupBy doc_id), whose
+    volume is bounded by contamination mass, not corpus size. No
+    pair-wise comparison anywhere.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id", D.shingles_from_tokens("toks", _DECON_N).alias("sh")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 39. pii_scrub — regex PII detection + redaction accounting
+# --------------------------------------------------------------------------
+#: Patterns restricted to syntax Java regex and RE2 interpret
+#: identically (char classes, bounded repeats, \b, \d).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+#: The fixture corpus is PII-free, so the query plants one email, one
+#: IP, and one phone per document (derived from doc_id, identically in
+#: both engines) — the scrubber then has real matches to find, and the
+#: counts prove the regexes fire rather than vacuously returning 0.
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com via 10.0.', CAST(doc_id % 256 AS STRING), "
+    "'.7 tel 555-867-5309.')"
+)
+_PII_SUFFIX_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 tel 555-867-5309.'"
+)
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, {_PII_SUFFIX_DUCK} AS text
+      FROM documents
+    ),
+    scrub AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+             len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+             length(regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{_PII_IPV4}', '<IP>', 'g'),
+                     '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_len
+      FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(scrubbed_len) AS BIGINT) AS scrubbed_chars
+    FROM scrub GROUP BY source
+    """,
+    tags=("pipeline", "text"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: detect and redact emails / IPv4s / phone
+    numbers, reporting per-source match counts and post-redaction
+    sizes — the compliance scrub that runs over every training corpus.
+
+    All three patterns stay inside the Java-regex ∩ RE2 dialect so
+    the DuckDB oracle is exact. Catalyst evaluates the whole thing as
+    a single narrow projection (regexp_extract_all / regexp_replace
+    are codegen'd JVM ops): one corpus scan, zero Python, and the
+    only exchange is the final tiny per-source rollup — the shape
+    that holds at 100 TB. Redaction uses literal replacement tags, so
+    scrubbed_chars additionally pins replacement semantics (Spark
+    replaces all occurrences by default; DuckDB needs the 'g' flag —
+    a silent divergence if untested).
+    """
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id", "source", F.expr(_PII_SUFFIX_SPARK).alias("text")
+    )
+    email, ipv4, phone = (F.lit(p) for p in (_PII_EMAIL, _PII_IPV4, _PII_PHONE))
+    scrub = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("text", email, F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all("text", ipv4, F.lit(0))).alias("n_ipv4"),
+        F.size(F.regexp_extract_all("text", phone, F.lit(0))).alias("n_phone"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", email, F.lit("<EMAIL>")),
+                    ipv4,
+                    F.lit("<IP>"),
+                ),
+                phone,
+                F.lit("<PHONE>"),
+            )
+        ).alias("scrubbed_len"),
+    )
+    return scrub.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_ipv4").cast("long").alias("ipv4s"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("scrubbed_len").cast("long").alias("scrubbed_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 40. sample_stratified — deterministic per-language downsampling
+# --------------------------------------------------------------------------
+#: Per-language keep rates as 2-hex-digit md5-prefix ceilings
+#: (first byte of md5(doc_id) is uniform on [0,256)): '80' ≈ 50%,
+#: '40' ≈ 25%, '20' ≈ 12.5%. Unlisted languages keep ~6%.
+_SAMPLE_CEIL = {"en": "80", "es": "40", "fr": "40", "de": "20", "zh": "20"}
+_SAMPLE_DEFAULT = "10"
+
+def _sample_case(dialect_str_cast: str) -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lang}' THEN '{ceil}'"
+        for lang, ceil in sorted(_SAMPLE_CEIL.items())
+    )
+    return (
+        f"substr(md5(CAST(doc_id AS {dialect_str_cast})), 1, 2) < "
+        f"(CASE {branches} ELSE '{_SAMPLE_DEFAULT}' END)"
+    )
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE {_sample_case("VARCHAR")})
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(doc_id)
+                FILTER (WHERE {_sample_case("VARCHAR")}), 0)
+                AS BIGINT) AS kept_id_sum
+    FROM documents GROUP BY lang
+    """,
+    tags=("pipeline", "sampling"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling: per-language target rates
+    applied via a content-addressed coin — keep a doc iff the first
+    byte of md5(doc_id) falls under the language's ceiling. The
+    language-mix rebalancing step of a training-data pipeline.
+
+    Hash-based selection (vs ``df.sample``) is the form that survives
+    distribution: the keep decision is a pure function of the row, so
+    it is reproducible across engines, runs, partitionings, and
+    incremental arrivals — no RNG state, no seed-per-partition drift.
+    The hex-prefix comparison sidesteps engine-specific hash-to-int
+    casts (md5 prints identical lowercase hex in Spark and DuckDB).
+    Plan: one scan, one tiny per-language rollup; the kept_id_sum
+    checksum pins the exact kept SET, not just its size.
+    """
+    keep = F.expr(_sample_case("STRING"))
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(keep).alias("n_kept"),
+        F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 41. quality_repetition — Gopher-style repetition quality signals
+# --------------------------------------------------------------------------
+_REP_K = 20
+
+@query(
+    "quality_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.TOKENS_DUCK.format(c="text")} AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             [toks[i] || ' ' || toks[i+1]
+              for i in range(1, len(toks))] AS bigrams
+      FROM toks WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct * 1000 // n_tokens AS BIGINT)
+             AS distinct_x1000,
+           CAST((len(bigrams) - len(list_distinct(bigrams))) * 1000
+                // len(bigrams) AS BIGINT) AS dup_bigram_x1000
+    FROM bi
+    ORDER BY dup_bigram_x1000 DESC, distinct_x1000 ASC, doc_id
+    LIMIT {_REP_K}
+    """,
+    tags=("pipeline", "text"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (the Gopher/MassiveText rule
+    family): per-document distinct-token ratio and duplicated-bigram
+    fraction, surfacing the `_REP_K` most repetitive documents —
+    boilerplate and generator loops score high and get filtered.
+
+    Both signals are pure Catalyst array lambdas over a materialized
+    token column (bigrams via transform/sequence, dedup via
+    array_distinct) — per-doc work is linear, there is NO
+    explode/groupBy per token, and the only cross-row operation is
+    the final top-k (TakeOrderedAndProject: per-partition heaps, no
+    global sort). Integer fixed-point ×1000 with DIV keeps values
+    engine-exact. The deterministic (score, ratio, doc_id) tiebreak
+    makes the cut stable across engines.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", T.tokens("text").alias("toks")
+    )
+    bi = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ).alias("bigrams"),
+    )
+    return (
+        bi.select(
+            "doc_id",
+            "n_tokens",
+            F.expr("n_distinct * 1000 DIV n_tokens").alias("distinct_x1000"),
+            F.expr(
+                "(size(bigrams) - size(array_distinct(bigrams))) * 1000 "
+                "DIV size(bigrams)"
+            ).alias("dup_bigram_x1000"),
+        )
+        .orderBy(
+            F.col("dup_bigram_x1000").desc(),
+            F.col("distinct_x1000").asc(),
+            F.col("doc_id"),
+        )
+        .limit(_REP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# 42. pack_sequences — token-budget packing of docs into training rows
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len({T.TOKENS_DUCK.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+      FROM toks
+    )
+    SELECT lang,
+           CAST(tok_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY lang, seq_id
+    """,
+    tags=("pipeline", "sampling"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (per language, in doc_id
+    order) to fixed token-budget training sequences by running token
+    count — the batching step that turns a filtered corpus into
+    equal-budget training rows. A doc lands in the sequence its
+    preceding cumulative token count falls in (contiguous streaming
+    packing; first-fit-decreasing is not order-deterministic and so
+    not oracle-able).
+
+    Plan: one scan computing token counts (Catalyst HOF), one
+    shuffle on the language key for the running-sum window, and the
+    group-by reuses that same partitioning (no second exchange). At
+    100 TB the window partition key would be (lang, shard) with
+    per-shard budgets — the running sum never needs global order,
+    only per-shard order, so state stays bounded.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn(
+        "tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return cum.groupBy(
+        "lang",
+        F.expr(f"tok_before DIV {_PACK_BUDGET}").alias("seq_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
