@@ -41,10 +41,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver gates at most 50 ids per round (CORRECTNESS_r01 cut the
     then-60-entry registry at exactly 50 rows, dropping stream_session,
     udf_surface and all TPC-H queries); the registry therefore marks
-    exactly 50 queries ``gated`` — every SURVEY §2 id, every TPC-H
-    query, and the strongest extras — and keeps the rest oracle-checked
-    under pytest (tests/test_oracle_parity.py runs the identical
-    hash-compare for gated and ungated alike).
+    exactly 50 queries ``gated`` — every SURVEY §2 id, the headline
+    TPC-H queries, the fully-oracled training-data ops, and the
+    strongest extras — and keeps the rest oracle-checked under pytest
+    (tests/test_oracle_parity.py runs the identical hash-compare for
+    gated and ungated alike; ids whose driver row would be rows-only
+    anyway, e.g. the recall-gated LSH/IVF/SimHash paths, stay
+    ungated so every one of the 50 slots carries a full hash check
+    where one exists).
     """
     return {
         name: spec.fn for name, spec in load_all().items() if spec.gated

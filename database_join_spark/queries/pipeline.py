@@ -282,7 +282,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 28c. dedup_simhash — SimHash near-dup (single-signature scale path)
 # --------------------------------------------------------------------------
-@query("dedup_simhash", tags=("pipeline", "dedup", "no-oracle"))
+@query(
+    "dedup_simhash",
+    tags=("pipeline", "dedup", "no-oracle"),
+    gated=False,  # rows-only under the driver; recall floor pinned in pytest
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, chunk-bucketed
     Hamming join (pigeonhole blocking).
@@ -416,7 +420,11 @@ def simsearch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 29b. simsearch_lsh — ANN via random-hyperplane LSH buckets
 # --------------------------------------------------------------------------
-@query("simsearch_lsh", tags=("pipeline", "similarity", "no-oracle"))
+@query(
+    "simsearch_lsh",
+    tags=("pipeline", "similarity", "no-oracle"),
+    gated=False,  # rows-only under the driver; recall@5 floor pinned in pytest
+)
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN cosine top-k via multi-table random-hyperplane LSH.
 
@@ -436,7 +444,11 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 29c. simsearch_ivf — ANN via IVF coarse quantization (KMeans cells)
 # --------------------------------------------------------------------------
-@query("simsearch_ivf", tags=("pipeline", "similarity", "no-oracle"))
+@query(
+    "simsearch_ivf",
+    tags=("pipeline", "similarity", "no-oracle"),
+    gated=False,  # rows-only under the driver; recall@5 floor pinned in pytest
+)
 def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN cosine top-k via IVF: seeded KMeans cells, n_probe=4 of 16.
 
@@ -1068,7 +1080,6 @@ _DECON_MOD = 37  # doc_id % 37 == 0 marks the held-out "benchmark" split
     GROUP BY doc_id
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag corpus documents sharing any
@@ -1156,7 +1167,6 @@ _PII_SUFFIX_DUCK = (
     FROM scrub GROUP BY source
     """,
     tags=("pipeline", "text"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: detect and redact emails / IPv4s / phone
@@ -1236,7 +1246,6 @@ def _sample_case(dialect_str_cast: str) -> str:
     FROM documents GROUP BY lang
     """,
     tags=("pipeline", "sampling"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus downsampling: per-language target rates
