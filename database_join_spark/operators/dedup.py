@@ -131,6 +131,7 @@ def lsh_candidate_pairs(
     shingle_col: str = "shingles",
     num_hashes: int = 32,
     bands: int = 8,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Candidate near-dup id pairs via banded MinHash buckets.
 
@@ -138,11 +139,18 @@ def lsh_candidate_pairs(
     slots matches exactly. The bucket join shuffles only
     (band, bucket_hash, id) — at 100 TB that's the whole trick: no
     payloads move, and non-duplicate docs almost never co-bucket.
+
+    ``prehashed=True`` means ``shingle_col`` already holds int64
+    shingle hashes (:func:`shingle_hashes`) — the caller pays string
+    hashing once and can share the hashed table with verification.
     """
     rows_per_band = num_hashes // bands
+    hs = (
+        F.col(shingle_col) if prehashed else shingle_hashes(shingle_col)
+    )
     sig = df.select(
         F.col(id_col).alias("__id"),
-        shingle_hashes(shingle_col).alias("__hs"),
+        hs.alias("__hs"),
     ).select(
         "__id",
         minhash_signature("__hs", num_hashes).alias("__sig"),

@@ -258,23 +258,37 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", D.shingles_from_tokens("toks", SHINGLE_N).alias("sh")
         )
-        # shingling is the expensive linear pass and this plan uses it
-        # three times (signatures + both verification sides):
-        # materialize it once. At cluster scale this is a persisted/
-        # checkpointed intermediate table, same idea. Released by the
-        # next query's configure_session (session.track_persist).
+        # Shingle + hash-to-int64 is the expensive linear pass and
+        # this plan uses its output three times (signatures + both
+        # verification sides): materialize it ONCE, as int64 hashes
+        # rather than shingle strings — the int arrays are ~2-3×
+        # smaller to cache and Jaccard over them is long-equality
+        # instead of string-equality (distinct shingles stay distinct
+        # under xxhash64 up to a ~2^-64 per-pair collision — far
+        # below the LSH path's own false-negative rate). At cluster
+        # scale this is a persisted/checkpointed signature-input
+        # table. Released by the next query's configure_session
+        # (session.track_persist).
+        .select("doc_id", D.shingle_hashes("sh").alias("hs"))
         .transform(_track_persist)
     )
     cand = D.lsh_candidate_pairs(
-        docs, id_col="doc_id", shingle_col="sh", num_hashes=32, bands=16
+        docs,
+        id_col="doc_id",
+        shingle_col="hs",
+        num_hashes=32,
+        bands=16,
+        prehashed=True,
     )
     # Verification payloads attach via the semi-filtered pair join
     # (operators/dedup.py pair_payloads): only candidate docs'
-    # shingles ever move, and no size estimate is trusted with the
-    # full shingle table (measured 1M-doc broadcast abort otherwise).
+    # hashed shingles ever move, and no size estimate is trusted with
+    # the full shingle table (measured 1M-doc broadcast abort
+    # otherwise). Exact Jaccard runs on the hashed sets — identical
+    # to string-set Jaccard absent a 64-bit collision.
     return (
-        D.pair_payloads(docs, cand, id_col="doc_id", payload_col="sh")
-        .select("id_a", "id_b", D.jaccard("sh_a", "sh_b").alias("jac"))
+        D.pair_payloads(docs, cand, id_col="doc_id", payload_col="hs")
+        .select("id_a", "id_b", D.jaccard("hs_a", "hs_b").alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
     )
 

@@ -130,6 +130,34 @@ def test_tpch_q5_broadcasts_all_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
 
 
+def test_decontam_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle set must be the broadcast side — a
+    shuffled corpus⋈benchmark join would move the whole corpus's
+    exploded shingle stream at 100 TB."""
+    df = REGISTRY["decontam_ngram"].fn(spark, SF_DIR)
+    P.assert_broadcast_join(df)
+    P.assert_no_cartesian(df)
+
+
+def test_pack_sequences_single_exchange(spark):
+    """The running-sum window and the (lang, seq_id) group-by must
+    share one hash exchange on lang — a second exchange would
+    re-shuffle the corpus for an aggregation already co-located by
+    the window."""
+    import re
+
+    plan = P.plan_string(REGISTRY["pack_sequences"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+
+
+def test_tpch_q4_is_semi_join(spark):
+    """The EXISTS must plan as LeftSemi (one output row per order,
+    non-equi predicate riding the join) — an inner join + distinct
+    would materialize every (order, late-line) pair first."""
+    plan = P.plan_string(REGISTRY["tpch_q4"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(
