@@ -39,16 +39,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     The driver gates at most 50 ids per round (CORRECTNESS_r01 cut the
-    then-60-entry registry at exactly 50 rows, dropping stream_session,
-    udf_surface and all TPC-H queries); the registry therefore marks
-    exactly 50 queries ``gated`` — every SURVEY §2 id, the headline
-    TPC-H queries, the fully-oracled training-data ops, and the
-    strongest extras — and keeps the rest oracle-checked under pytest
-    (tests/test_oracle_parity.py runs the identical hash-compare for
-    gated and ungated alike; ids whose driver row would be rows-only
-    anyway, e.g. the recall-gated LSH/IVF/SimHash paths, stay
-    ungated so every one of the 50 slots carries a full hash check
-    where one exists).
+    then-60-entry registry at exactly 50 rows); the registry therefore
+    marks exactly 50 queries ``gated``, chosen per VERDICT r01: every
+    SURVEY §2 id (33), every TPC-H query (11), both remaining UDF
+    flavors, ``stream_sliding``, ``agg_quantile_approx``,
+    ``join_asof_bucketed``, and ``multimodal_features``. Ids rotated
+    out this round (join_asof, agg_quantile_exact, dedup_embed_cosine,
+    text_langid, text_quality, decontam_ngram, pii_scrub,
+    sample_stratified) either hold a green CORRECTNESS_r01 row or are
+    hash-compared by the identical check in pytest
+    (tests/test_oracle_parity.py runs gated and ungated alike).
     """
     return {
         name: spec.fn for name, spec in load_all().items() if spec.gated

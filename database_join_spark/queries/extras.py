@@ -63,7 +63,15 @@ _ASOF_ARGS = dict(
 )
 
 
-@query("join_asof", oracle=_ASOF_ORACLE, tags=("extras", "join"))
+@query(
+    "join_asof",
+    # rotated out of the 50-slot driver gate (green r01 row; the
+    # bucketed scale variant below holds the gated slot, and pytest
+    # hash-parity still runs the identical check here)
+    gated=False,
+    oracle=_ASOF_ORACLE,
+    tags=("extras", "join"),
+)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order at-or-before the
     event time for that user (operators/asof.py windowed strategy).
@@ -236,6 +244,7 @@ def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "agg_quantile_exact",
+    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS q25,

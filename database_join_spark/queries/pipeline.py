@@ -487,6 +487,7 @@ _COS_DUP_THRESHOLD = 0.4
 
 @query(
     "dedup_embed_cosine",
+    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     WITH v AS (
       SELECT vec_id, label, embedding,
@@ -592,6 +593,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_langid",
+    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     SELECT lang, {T.predicted_lang_duck("text")} AS predicted,
            COUNT(*) AS n
@@ -620,6 +622,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_quality",
+    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     WITH per_doc AS (
       SELECT source,
@@ -1076,6 +1079,7 @@ _DECON_MOD = 37  # doc_id % 37 == 0 marks the held-out "benchmark" split
 
 @query(
     "decontam_ngram",
+    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     WITH sh AS (
       SELECT doc_id, {D.shingles_duck("text", _DECON_N)} AS sh
@@ -1156,6 +1160,7 @@ _PII_SUFFIX_DUCK = (
 
 @query(
     "pii_scrub",
+    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     WITH aug AS (
       SELECT doc_id, source, {_PII_SUFFIX_DUCK} AS text
@@ -1249,6 +1254,7 @@ def _sample_case(dialect_str_cast: str) -> str:
 
 @query(
     "sample_stratified",
+    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,

@@ -261,7 +261,7 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY lang
     """,
     tags=("streaming", "udf"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (a UDAF): token-weighted average
@@ -308,7 +308,7 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY lang
     """,
     tags=("streaming", "udf"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas``: per-language median length.

@@ -371,7 +371,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     tags=("tpch",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 order-priority checking: correlated EXISTS over the fact
@@ -435,7 +435,7 @@ _Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("tpch",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 volume shipping: the two-role dimension query — nation
@@ -505,7 +505,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("tpch",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 returned items: selective filters on BOTH fact tables
@@ -563,7 +563,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate < TIMESTAMP '1996-10-01'
     """,
     tags=("tpch",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 promotion effect: one month of lineitem joined to part,
@@ -619,7 +619,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
     tags=("tpch",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 top supplier: a derived revenue view consumed twice — once
@@ -670,7 +670,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND l_quantity >= 20 AND l_quantity <= 40)
     """,
     tags=("tpch",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    # gated: promoted into the 50-slot driver gate in round 2
 )
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 discounted revenue: a disjunction of three conjunctive
