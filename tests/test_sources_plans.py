@@ -158,6 +158,37 @@ def test_tpch_q4_is_semi_join(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_tpch_q21_semi_then_anti(spark):
+    """The EXISTS / NOT EXISTS pair must plan as LeftSemi then
+    LeftAnti self-joins — any inner-join spelling would materialize
+    (late line × sibling line) pairs before filtering."""
+    plan = P.plan_string(REGISTRY["tpch_q21"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_tpch_q8_no_forced_fact_broadcast(spark):
+    """Q8's seven-table join may hint-broadcast only the
+    fixed-cardinality nation/region tables; part/supplier/customer
+    scale with SF and must be left to AQE (ADVICE r01 rule)."""
+    df = REGISTRY["tpch_q8"].fn(spark, SF_DIR)
+    P.assert_no_cartesian(df)
+    from database_join_spark.queries.tpch import tpch_q8  # noqa: F401
+    import inspect
+
+    src = inspect.getsource(tpch_q8)
+    for tbl in ("part", "supp", "cust", "li", "orders"):
+        assert f"F.broadcast({tbl})" not in src, tbl
+
+
+def test_tpch_q22_threshold_is_broadcast_not_collect(spark):
+    """The cohort-average threshold must reach the filter via a
+    broadcast join of the 1-row aggregate — never a driver collect
+    (the q15 scalar pattern)."""
+    plan = P.plan_string(REGISTRY["tpch_q22"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(
