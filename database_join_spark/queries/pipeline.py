@@ -1437,3 +1437,289 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# 43. corpus_mix — domain-mixture reweighting (target weights per source)
+# --------------------------------------------------------------------------
+#: Target mixture weights in millionths; sources not named share the
+#: remainder via the default. Integer millionths keep every rate
+#: computation exact and engine-identical (no double rounding).
+_MIX_W_X1E6 = {"src0": 300_000, "src1": 200_000}
+_MIX_DEFAULT_X1E6 = 26_316  # ≈ 0.5/19 of the corpus for the long tail
+
+def _mix_weight_case() -> str:
+    branches = " ".join(
+        f"WHEN source = '{s}' THEN {w}"
+        for s, w in sorted(_MIX_W_X1E6.items())
+    )
+    return f"(CASE {branches} ELSE {_MIX_DEFAULT_X1E6} END)"
+
+def _mix_coin(dialect_str_cast: str, conv_expr: str) -> str:
+    """Content-addressed coin in [0, 1e6): six md5 hex chars of the
+    doc id parsed to an integer. Pure function of the row →
+    reproducible across engines, runs, and partitionings."""
+    return (
+        f"{conv_expr.format(h=f'substr(md5(CAST(doc_id AS {dialect_str_cast})), 1, 6)')}"
+        " % 1000000"
+    )
+
+_MIX_COIN_SPARK = _mix_coin("STRING", "CAST(CONV({h}, 16, 10) AS BIGINT)")
+_MIX_COIN_DUCK = _mix_coin("VARCHAR", "CAST(('0x' || {h}) AS BIGINT)")
+
+@query(
+    "corpus_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_src,
+             SUM(COUNT(*)) OVER () AS n_total
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_src,
+             LEAST(1000000, ({_mix_weight_case()} * n_total) // n_src)
+               AS rate_x1e6
+      FROM counts
+    )
+    SELECT d.source,
+           CAST(MIN(rate_x1e6) AS BIGINT) AS rate_x1e6,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE {_MIX_COIN_DUCK} < rate_x1e6)
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(doc_id)
+                FILTER (WHERE {_MIX_COIN_DUCK} < rate_x1e6), 0)
+                AS BIGINT) AS kept_id_sum
+    FROM documents d JOIN rates USING (source)
+    GROUP BY d.source
+    """,
+    tags=("pipeline", "sampling"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: hit target per-source weights by
+    deterministic subsampling — the mixing step that turns a raw
+    crawl into a training mix (oversampled sources cap at keep-all;
+    rates are exact integer millionths so both engines compute the
+    identical keep set). The kept_id_sum checksum pins WHICH docs
+    survive, not just how many.
+
+    Two passes over a two-column projection: a per-source count
+    (tiny agg + window for the grand total), then the coin filter
+    with the rate table joined back — the rate table has one row per
+    source, so it broadcasts at any scale. The md5 coin makes the
+    sample stable under repartitioning and incremental arrival, the
+    property `df.sample` cannot give (RNG-per-partition).
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    # window the grand total onto the tiny per-source count table
+    rates = (
+        counts.withColumn("n_total", F.sum("n_src").over(Window.partitionBy()))
+        .select(
+            "source",
+            F.expr(
+                f"LEAST(1000000, ({_mix_weight_case()}"
+                " * n_total) DIV n_src)"
+            ).alias("rate_x1e6"),
+        )
+    )
+    keep = F.expr(_MIX_COIN_SPARK) < F.col("rate_x1e6")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.min("rate_x1e6").cast("long").alias("rate_x1e6"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(keep).alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 44. tfidf_terms — distinguishing terms per source (rational TF-IDF)
+# --------------------------------------------------------------------------
+_TFIDF_K = 5
+
+@query(
+    "tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({T.TOKENS_DUCK.format(c="text")})
+             AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*) AS tf
+      FROM tok GROUP BY source, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+      FROM tok GROUP BY term
+    ),
+    scored AS (
+      SELECT source, term,
+             (tf * 1000000 * n_docs) // df AS score_x1e6,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (tf * 1000000 * n_docs) // df DESC, term
+             ) AS rn
+      FROM tf JOIN df USING (term)
+    )
+    SELECT source, term, CAST(score_x1e6 AS BIGINT) AS score_x1e6
+    FROM scored WHERE rn <= {_TFIDF_K}
+    """,
+    tags=("pipeline", "text"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinguishing terms per source by TF-IDF — the corpus
+    profiling step behind mixture design and contamination triage.
+    The score is the log-free rational tf · N/df scaled to integer
+    millionths: monotone in the classic tf·idf for fixed tf ordering,
+    and exact integer math, so ranking (and the driver hash) is
+    engine-identical — no libm log whose last ulp could differ.
+
+    One tokenize+explode pass feeds both aggregations: term
+    frequency per (source, term) and document frequency per term.
+    The df table is one row per distinct term — orders of magnitude
+    smaller than the token stream — and joins back on the term key;
+    the final per-source top-k is a WindowGroupLimit prune, never a
+    full sort. At 100 TB the explode stream shuffles twice (term,
+    then source) — both combiner-reduced map-side first.
+    """
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(T.TOKENS_SQL.format(c="text"))).alias("term"),
+        )
+    )
+    # corpus size as a broadcast 1-row frame — never a driver action
+    n_docs = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "source",
+            "term",
+            F.expr("(tf * 1000000 * n_docs) DIV df").alias("score_x1e6"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_x1e6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("source", "term", "score_x1e6")
+    )
+
+
+# --------------------------------------------------------------------------
+# 45. seq_len_hist — token-length histogram in power-of-two buckets
+# --------------------------------------------------------------------------
+@query(
+    "seq_len_hist",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({T.TOKENS_DUCK.format(c="text")}) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS bucket_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM toks GROUP BY bucket_bits
+    """,
+    tags=("pipeline", "text"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document token-length histogram in power-of-two buckets — the
+    length profile that sizes packing budgets (pack_sequences) and
+    truncation limits. The bucket is the binary digit count
+    ⌊log₂ n⌋+1, computed as length(bin(n)): pure integer/string ops,
+    identical in both engines — deliberately NOT floating log2(),
+    whose boundary values could round across engines.
+
+    One scan, one HOF token count per row, one tiny exchange over
+    ≤ 64 buckets with map-side partial aggregation. Scale-invariant
+    by construction.
+    """
+    toks = _docs(spark, sf_dir).select(
+        T.token_count("text").alias("n_tokens")
+    )
+    return toks.groupBy(
+        F.expr("CAST(length(bin(n_tokens)) AS BIGINT)").alias("bucket_bits")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 46. dedup_first_event — keyed first-arrival dedup (stateful-dedup twin)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           ts AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("pipeline", "dedup", "streaming"),
+    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival dedup per (user, event type): the batch twin of
+    streaming ``dropDuplicatesWithinWatermark`` state — keep the
+    earliest event per key with an event_id tiebreak so ties are
+    deterministic (min_by alone is not). The streaming spelling and
+    its equivalence test live in database_join_spark/streaming
+    (tests/test_streaming.py).
+
+    One shuffle on the dedup key; the window's row_number(... ) <= 1
+    plans as a WindowGroupLimit partial prune, so each map task
+    forwards only its local first row per key — the shuffle carries
+    ~|keys| rows, not |events|. At 100 TB this is the standard
+    keyed-compaction shape (same exchange as the streaming state
+    store's key partitioning).
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )

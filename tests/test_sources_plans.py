@@ -189,6 +189,33 @@ def test_tpch_q22_threshold_is_broadcast_not_collect(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_dedup_first_event_single_exchange_with_group_limit(spark):
+    """Keyed first-arrival dedup must be one shuffle with a
+    WindowGroupLimit partial prune — each map task forwards only its
+    local first row per key, so the exchange carries ~|keys| rows."""
+    import re
+
+    plan = P.plan_string(REGISTRY["dedup_first_event"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+
+
+def test_tfidf_topk_is_group_limit_pruned(spark):
+    """The per-source top-k must plan as WindowGroupLimit, never a
+    full sort of the (source, term) score table."""
+    plan = P.plan_string(REGISTRY["tfidf_terms"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_mix_rate_table_broadcasts(spark):
+    """The one-row-per-source rate table must broadcast into the
+    coin filter — shuffling the corpus against a 20-row table would
+    move every payload at 100 TB."""
+    df = REGISTRY["corpus_mix"].fn(spark, SF_DIR)
+    P.assert_broadcast_join(df)
+    P.assert_no_cartesian(df)
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(
