@@ -38,19 +38,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS,false), which Spark's
-        # reader rejects outright (PARQUET_TYPE_ILLEGAL). The session
-        # conf spark.sql.legacy.parquet.nanosAsLong (RUNTIME_CONFS,
-        # session.py — applied uniformly by configure_session at every
-        # query entry, never as a read side effect) surfaces the
-        # physical INT64 nanos; rebuild a µs timestamp — the same
+        # events.ts has shipped at two parquet resolutions across
+        # fixture generations: TIMESTAMP(NANOS,false), which Spark's
+        # reader surfaces as INT64 nanos under
+        # spark.sql.legacy.parquet.nanosAsLong (RUNTIME_CONFS,
+        # session.py — applied uniformly by configure_session, never as
+        # a read side effect), and TIMESTAMP(MICROS), which loads as a
+        # timestamp directly (NTZ when not UTC-adjusted). Normalize
+        # both to session-zone TIMESTAMP at µs precision — the same
         # floor-truncation DuckDB applies when it reads TIMESTAMP_NS,
-        # so both engines see identical values.
+        # so both engines see identical values (session tz is pinned
+        # to UTC, so the NTZ→TZ cast is value-preserving).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

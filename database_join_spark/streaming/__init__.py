@@ -34,12 +34,18 @@ from database_join_spark.session import configure_session
 #: Decimal-stable sum (FIXTURES.md rule 2), same spelling as batch.
 _VSUM = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
 
-#: events.parquet physical schema: ts is INT64 nanos (TESTDATA.md);
-#: streaming reads need an explicit schema, so we declare the nanos
-#: column as LONG and rebuild a µs timestamp exactly like
-#: catalog.table does for batch.
-EVENTS_PHYSICAL_SCHEMA = (
+#: events.parquet has shipped at two physical resolutions across
+#: fixture generations (TESTDATA.md): TIMESTAMP(NANOS) — surfaced as
+#: INT64 nanos under nanosAsLong, rebuilt into a µs timestamp — and
+#: TIMESTAMP(MICROS), read as a timestamp directly. Streaming reads
+#: need an explicit schema, so probe the parquet footer once (batch
+#: reader, driver-side metadata only) and declare the matching one.
+_EVENTS_SCHEMA_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+_EVENTS_SCHEMA_MICROS = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
@@ -51,15 +57,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-source pattern: at production scale the same code tails a
     bucket/directory as files land.
     """
+    from pyspark.sql.types import LongType
+
     configure_session(spark)  # nanosAsLong et al. (RUNTIME_CONFS)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     # The file source wants a directory; the fixture is a single file,
     # so stream the directory with a glob pinned to it.
-    return (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+    stream = (
+        spark.readStream.schema(
+            _EVENTS_SCHEMA_NANOS
+            if isinstance(ts_type, LongType)
+            else _EVENTS_SCHEMA_MICROS
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
+    if isinstance(ts_type, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
