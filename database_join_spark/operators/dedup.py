@@ -399,22 +399,46 @@ def simhash(col: str = "text") -> Column:
     bit i of the signature = sign of Σ_tokens (±1 by token-hash bit i).
     Near-duplicate docs differ in O(few) bits → bucket by a prefix and
     hamming-verify within buckets (bit_count(xor) ≤ t).
+
+    Single pass over the document: tokens are split and hashed ONCE,
+    folded into a 64-counter array (one ±1 update per bit per token),
+    then the counters collapse to signature bits. The earlier spelling
+    put ``transform(tokens, xxhash64)`` inside the per-bit lambda of an
+    ``aggregate(sequence(0, 63), ...)``, re-running the regex split +
+    token hashing for every one of the 64 bits — the exact hazard
+    :func:`shingles_from_tokens` documents. A column-hoist alone is
+    not reliable here (the hash array would be referenced once in the
+    expression tree, so CollapseProject may inline it right back into
+    the per-bit lambda); instead the counts array is let-bound via
+    ``transform(array(<counts>), cnts -> ...)``, whose lambda argument
+    is evaluated exactly once by construction.
     """
     toks = TOKENS_SQL.format(c=col)
     return F.expr(
         f"""
-        aggregate(
-          sequence(0, 63),
-          CAST(0 AS BIGINT),
-          (acc, i) -> acc + IF(
-            aggregate(
-              transform({toks}, t -> xxhash64(t)),
+        element_at(
+          transform(
+            array(
+              aggregate(
+                transform({toks}, t -> xxhash64(t)),
+                array_repeat(0, 64),
+                (acc, h) -> zip_with(
+                  acc, sequence(0, 63),
+                  (a, i) -> a + IF((shiftrightunsigned(h, i) & 1) = 1, 1, -1)
+                )
+              )
+            ),
+            cnts -> aggregate(
+              sequence(0, 63),
               CAST(0 AS BIGINT),
-              (a2, h) -> a2 + IF((shiftrightunsigned(h, i) & 1) = 1, 1, -1)
-            ) > 0,
-            shiftleft(CAST(1 AS BIGINT), i),
-            CAST(0 AS BIGINT)
-          )
+              (acc, i) -> acc + IF(
+                element_at(cnts, i + 1) > 0,
+                shiftleft(CAST(1 AS BIGINT), i),
+                CAST(0 AS BIGINT)
+              )
+            )
+          ),
+          1
         )
         """
     )
