@@ -41,6 +41,7 @@ class Q4112Config:
 
     inner_tuples: int = 2000
     outer_tuples: int = 60000
+    inner_selectivity: float = 1.0  # ∈ (0.1, 1] — q4112.h:20-22
     outer_selectivity: float = 0.5  # ∈ (0.1, 1]
     groups: int = 100
     price_max: int = 50
@@ -49,16 +50,29 @@ class Q4112Config:
     hh_prob: float = 0.0
 
     def __post_init__(self) -> None:
+        assert 0.1 < self.inner_selectivity <= 1.0
         assert 0.1 < self.outer_selectivity <= 1.0
         assert 1 <= self.groups <= self.outer_tuples
         assert 0 <= self.hh_groups <= self.groups
         assert 0.0 <= self.hh_prob <= 1.0
 
     @property
+    def referenced_items(self) -> int:
+        """How many item ids orders may reference:
+        ``inner_selectivity`` is "probability that items.id exists in
+        orders" (q4112.h:20) — only ids [1, referenced_items] appear
+        as FKs, so that fraction of items is probed (all of them,
+        w.h.p., once outer ≫ inner)."""
+        return max(1, int(round(self.inner_tuples * self.inner_selectivity)))
+
+    @property
     def fk_domain(self) -> int:
-        """FK values span [1, fk_domain]; only [1, inner_tuples]
-        exist ⇒ P(match) ≈ selectivity (q4112.h:31-33)."""
-        return int(round(self.inner_tuples / self.outer_selectivity))
+        """Size of the uniform FK draw: the matching portion is the
+        ``referenced_items`` ids, so P(order matches) =
+        referenced/fk_domain = outer_selectivity (q4112.h:31-33).
+        With inner_selectivity = 1.0 this is inner/osel — identical
+        to the pre-isel construction bit for bit."""
+        return int(round(self.referenced_items / self.outer_selectivity))
 
 
 def q4112_frames(
@@ -89,8 +103,20 @@ def q4112_frames(
         if cfg.hh_groups > 0
         else reg_store
     )
+    f = (i * 40503 + 7) % cfg.fk_domain
+    if cfg.inner_selectivity < 1.0:
+        # Draws landing past the referenced-id range become keys
+        # BEYOND the inner domain (guaranteed non-existent), so only
+        # ids [1, referenced_items] are ever probed — inner
+        # selectivity — while P(match) stays outer_selectivity.
+        m = cfg.referenced_items
+        item_id = F.when(f < m, f + 1).otherwise(
+            cfg.inner_tuples + (f - m) + 1
+        )
+    else:
+        item_id = f + 1  # non-matches are ids (inner, fk_domain]
     orders = spark.range(0, cfg.outer_tuples, 1, num_partitions).select(
-        ((i * 40503 + 7) % cfg.fk_domain + 1).alias("item_id"),
+        item_id.alias("item_id"),
         store.alias("store_id"),
         ((i * 31 + 3) % cfg.qty_max + 1).alias("quantity"),
     )
@@ -128,11 +154,24 @@ def part2_oracle(cfg: Q4112Config) -> tuple[int, int]:
     """
     ids = np.arange(1, cfg.inner_tuples + 1, dtype=np.int64)
     price = ids * _MIX % cfg.price_max + 1
-    price_by_id = np.zeros(cfg.fk_domain + 1, dtype=np.int64)
-    price_by_id[ids] = price  # ids ≤ fk_domain by construction
+    # Lookup table must cover every id AND every generated FK value
+    # (non-matching FKs can exceed the domain when isel < 1: they are
+    # mapped past the inner domain on purpose).
+    hi = max(
+        cfg.fk_domain,
+        cfg.inner_tuples,
+        cfg.inner_tuples + cfg.fk_domain - cfg.referenced_items,
+    )
+    price_by_id = np.zeros(hi + 1, dtype=np.int64)
+    price_by_id[ids] = price
 
     i = np.arange(cfg.outer_tuples, dtype=np.int64)
-    item_id = (i * 40503 + 7) % cfg.fk_domain + 1
+    f = (i * 40503 + 7) % cfg.fk_domain
+    if cfg.inner_selectivity < 1.0:
+        m = cfg.referenced_items
+        item_id = np.where(f < m, f + 1, cfg.inner_tuples + (f - m) + 1)
+    else:
+        item_id = f + 1
     if cfg.hh_groups > 0:
         bern = (i * _MIX + 17) % 1000 < int(cfg.hh_prob * 1000)
         store = np.where(

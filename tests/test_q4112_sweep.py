@@ -27,6 +27,13 @@ SWEEP = [
                 hh_groups=3, hh_prob=0.9),
     Q4112Config(inner_tuples=5_000, outer_tuples=100_000, groups=10_000,
                 hh_groups=100, hh_prob=1.0),
+    # inner_selectivity < 1 — the q4112_hj.csv:101-125 config shape
+    # (inner=1e8, isel=0.5, osel=0.5) at test scale.
+    Q4112Config(inner_tuples=2_000, outer_tuples=60_000, groups=100,
+                inner_selectivity=0.5, outer_selectivity=0.5),
+    Q4112Config(inner_tuples=5_000, outer_tuples=100_000, groups=1_000,
+                inner_selectivity=0.3, outer_selectivity=1.0,
+                hh_groups=3, hh_prob=0.5),
 ]
 
 
@@ -40,6 +47,30 @@ def test_part2_matches_independent_oracle(spark, cfg):
     want_avg, want_groups = part2_oracle(cfg)
     assert row["avg_of_avgs"] == want_avg
     assert row["n_groups"] == want_groups
+
+
+def test_inner_selectivity_controls_referenced_fraction(spark):
+    """inner_selectivity is "probability that items.id exists in
+    orders" (q4112.h:20): exactly that fraction of item ids may be
+    referenced, all of them are hit once outer ≫ inner, and the
+    outer match rate stays outer_selectivity."""
+    cfg = Q4112Config(
+        inner_tuples=1_000,
+        outer_tuples=50_000,
+        groups=10,
+        inner_selectivity=0.5,
+        outer_selectivity=0.5,
+    )
+    items, orders = q4112_frames(spark, cfg)
+    probed = (
+        items.join(orders, items.id == orders.item_id, "left_semi")
+        .select("id")
+        .distinct()
+        .count()
+    )
+    assert probed == cfg.referenced_items == 500
+    matched = orders.join(items, items.id == orders.item_id).count()
+    assert abs(matched / cfg.outer_tuples - cfg.outer_selectivity) < 0.02
 
 
 def test_skew_changes_distribution_not_answer_shape(spark):
