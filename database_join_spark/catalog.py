@@ -45,10 +45,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.py — applied uniformly by configure_session, never as
         # a read side effect), and TIMESTAMP(MICROS), which loads as a
         # timestamp directly (NTZ when not UTC-adjusted). Normalize
-        # both to session-zone TIMESTAMP at µs precision — the same
-        # floor-truncation DuckDB applies when it reads TIMESTAMP_NS,
-        # so both engines see identical values (session tz is pinned
-        # to UTC, so the NTZ→TZ cast is value-preserving).
+        # both to session-zone TIMESTAMP at µs precision. ts DIV 1000
+        # truncates toward zero, which equals DuckDB's TIMESTAMP_NS
+        # floor-truncation for non-negative epochs only (pre-1970
+        # nanos would differ by 1 µs); the fixture domain is
+        # Jan-2024+, so the equivalence holds here. Session tz is
+        # pinned to UTC, so the NTZ→TZ cast is value-preserving.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 

@@ -58,22 +58,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket/directory as files land.
     """
     from pyspark.sql.types import LongType
+    from pyspark.sql.utils import AnalysisException
 
     configure_session(spark)  # nanosAsLong et al. (RUNTIME_CONFS)
+    # The MICROS schema declares ts as TIMESTAMP (LTZ) over a file
+    # whose annotation is NTZ, which reinterprets raw micros as
+    # epoch-UTC; catalog.table instead casts NTZ→LTZ through the
+    # session zone. The two agree ONLY at session tz UTC —
+    # configure_session sets it best-effort, so fail loudly here
+    # rather than let a non-UTC session silently diverge batch from
+    # stream (ADVICE r02).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"events_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the stream-side TIMESTAMP schema reads the "
+            f"fixture's NTZ micros as epoch-UTC and would diverge from "
+            f"the batch catalog under any other session zone"
+        )
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+        nanos = isinstance(ts_type, LongType)
+    except AnalysisException:
+        # Probe file not landed yet — the documented production
+        # pattern tails a directory as files land, so construction
+        # must not require data to exist. Current fixture generations
+        # ship TIMESTAMP(MICROS) (TESTDATA.md); declare that.
+        nanos = False
     # The file source wants a directory; the fixture is a single file,
     # so stream the directory with a glob pinned to it.
     stream = (
         spark.readStream.schema(
-            _EVENTS_SCHEMA_NANOS
-            if isinstance(ts_type, LongType)
-            else _EVENTS_SCHEMA_MICROS
+            _EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS
         )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if isinstance(ts_type, LongType):
+    if nanos:
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return stream
 
