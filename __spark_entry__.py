@@ -40,15 +40,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver gates at most 50 ids per round (CORRECTNESS_r01 cut the
     then-60-entry registry at exactly 50 rows); the registry therefore
-    marks exactly 50 queries ``gated``, chosen per VERDICT r01: every
-    SURVEY §2 id (33), every TPC-H query (11), both remaining UDF
-    flavors, ``stream_sliding``, ``agg_quantile_approx``,
-    ``join_asof_bucketed``, and ``multimodal_features``. Ids rotated
-    out this round (join_asof, agg_quantile_exact, dedup_embed_cosine,
-    text_langid, text_quality, decontam_ngram, pii_scrub,
-    sample_stratified) either hold a green CORRECTNESS_r01 row or are
-    hash-compared by the identical check in pytest
-    (tests/test_oracle_parity.py runs gated and ungated alike).
+    marks exactly 50 queries ``gated``, rotated per VERDICT r02 #6 so
+    every oracled id earns a driver CORRECTNESS row across rounds:
+    the 33 SURVEY §2 ids are retained permanently, and the 17
+    remaining slots now carry ids with no r01/r02 row — tpch_q8/q13/
+    q17/q21/q22, corpus_clean, corpus_mix, decontam_ngram,
+    dedup_clusters, dedup_first_event, dedup_incremental,
+    embed_quantize, pack_sequences, pii_scrub, quality_repetition,
+    sample_stratified, tfidf_terms. (17 is the cap-constrained max:
+    33 retained + 17 fresh = 50.) Everything rotated out holds a
+    green r01/r02 row and stays hash-compared by the identical check
+    in pytest (tests/test_oracle_parity.py runs gated and ungated
+    alike).
     """
     return {
         name: spec.fn for name, spec in load_all().items() if spec.gated

@@ -91,7 +91,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("join_asof_bucketed", oracle=_ASOF_ORACLE, tags=("extras", "join"))
+@query("join_asof_bucketed", oracle=_ASOF_ORACLE, tags=("extras", "join"),
+    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
+)
 def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, time-bucketed strategy — the 100 TB path promised
     by round 1's docstring, now implemented (operators/asof.py).
@@ -182,7 +184,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("extras", "skew"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=False,  # rotated out of the 50-slot gate r03 (green r01 row; pytest hash-compares)
 )
 def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted SUM grouped by a 3-value (maximally skewed)
@@ -274,7 +276,9 @@ def agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_quantile_approx", tags=("extras", "agg", "no-oracle"))
+@query("agg_quantile_approx", tags=("extras", "agg", "no-oracle"),
+    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
+)
 def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald–Khanna sketch) per group —
     the mergeable, bounded-memory scale path (the quantile analogue

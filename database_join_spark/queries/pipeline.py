@@ -100,7 +100,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang, source
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=False,  # rotated out of the 50-slot gate r03 (green r01 row; pytest hash-compares)
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving-row counts per (lang, source) after exact dedup.
@@ -209,7 +209,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
@@ -776,6 +775,7 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("pipeline", "multimodal"),
+    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over opaque binary payloads — now decoding
@@ -847,7 +847,6 @@ _NTOK_DUCK = f"len({T.TOKENS_DUCK.format(c='text')})"
     FROM kept GROUP BY lang
     """,
     tags=("pipeline", "dedup", "text"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning: quality gate → exact dedup
@@ -935,7 +934,6 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source, fp FROM r WHERE rn = 1
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: admit only new-batch docs that are novel
@@ -991,7 +989,6 @@ _Q8_DUCK = (
     FROM q
     """,
     tags=("pipeline", "similarity"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-embedding int8 quantization + exact fixed-point norm stats
@@ -1079,7 +1076,6 @@ _DECON_MOD = 37  # doc_id % 37 == 0 marks the held-out "benchmark" split
 
 @query(
     "decontam_ngram",
-    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     WITH sh AS (
       SELECT doc_id, {D.shingles_duck("text", _DECON_N)} AS sh
@@ -1160,7 +1156,6 @@ _PII_SUFFIX_DUCK = (
 
 @query(
     "pii_scrub",
-    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     WITH aug AS (
       SELECT doc_id, source, {_PII_SUFFIX_DUCK} AS text
@@ -1254,7 +1249,6 @@ def _sample_case(dialect_str_cast: str) -> str:
 
 @query(
     "sample_stratified",
-    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
     oracle=f"""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,
@@ -1323,7 +1317,6 @@ _REP_K = 20
     LIMIT {_REP_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality scoring (the Gopher/MassiveText rule
@@ -1399,7 +1392,6 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
     FROM cum GROUP BY lang, seq_id
     """,
     tags=("pipeline", "sampling"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents (per language, in doc_id
@@ -1493,7 +1485,6 @@ _MIX_COIN_DUCK = _mix_coin("VARCHAR", "CAST(('0x' || {h}) AS BIGINT)")
     GROUP BY d.source
     """,
     tags=("pipeline", "sampling"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture reweighting: hit target per-source weights by
@@ -1573,7 +1564,6 @@ _TFIDF_K = 5
     FROM scored WHERE rn <= {_TFIDF_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k distinguishing terms per source by TF-IDF — the corpus
@@ -1689,7 +1679,6 @@ def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("pipeline", "dedup", "streaming"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
 )
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-arrival dedup per (user, event type): the batch twin of
