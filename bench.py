@@ -84,6 +84,7 @@ def _throughput(spark) -> dict[str, float]:
     from database_join_spark.datagen import (
         Q4112Config,
         part1_query,
+        part1_query_shuffle,
         part2_query,
         q4112_frames,
     )
@@ -121,6 +122,37 @@ def _throughput(spark) -> dict[str, float]:
             THROUGHPUT_ROWS / sec / 1e9, 4
         )
         print(f"# {name}: {sec:.2f} s {runs}", file=sys.stderr)
+
+    # Large-inner regime (VERDICT r02 #8): inner = 1e7 at 1/10th the
+    # outer rows, SHUFFLE_HASH build — the shape where the reference's
+    # shared-memory CAS build wins on one box (q4112_hj.csv:101-200;
+    # BASELINE.md "Large-build-side joins"). Tracked per round so the
+    # gap is measurable, not anecdotal. 3 repeats, not 7: each run
+    # shuffles 1e8+1e7 rows through one JVM (~20 s) and the
+    # round-over-round signal is the ~×-level ratio, not ±5%.
+    li_cfg = Q4112Config(
+        inner_tuples=10_000_000,
+        outer_tuples=max(THROUGHPUT_ROWS // 10, 10_000_000),
+        groups=100,
+        outer_selectivity=1.0,
+        price_max=50,
+        qty_max=20,
+    )
+    runs = []
+    for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
+        items, orders = q4112_frames(spark, li_cfg, 4 * cores)
+        t0 = time.perf_counter()
+        part1_query_shuffle(items, orders).collect()
+        runs.append(time.perf_counter() - t0)
+    timed = runs[1:]
+    sec = min(timed)
+    out["large_inner_sec"] = round(sec, 4)
+    out["large_inner_runs"] = [round(r, 4) for r in timed]
+    out["large_inner_rows"] = li_cfg.outer_tuples
+    out["large_inner_gtuples_per_sec"] = round(
+        li_cfg.outer_tuples / sec / 1e9, 4
+    )
+    print(f"# large_inner: {sec:.2f} s {runs}", file=sys.stderr)
     return out
 
 

@@ -131,6 +131,20 @@ def part1_query(items: DataFrame, orders: DataFrame) -> DataFrame:
     ).agg(F.expr("sum(price * quantity) DIV count(*)").alias("avg_val"))
 
 
+def part1_query_shuffle(items: DataFrame, orders: DataFrame) -> DataFrame:
+    """Part 1 with a SHUFFLE_HASH build — the large-inner regime
+    (``q4112_hj.csv:101-200``, inner = 1e8) where the build side
+    outgrows a broadcast. Both sides hash-partition on the key and
+    each task builds its own table; this is the plan that keeps
+    working when the build side outgrows ANY machine's RAM, and the
+    regime where the reference's shared-memory CAS build
+    (``q4112_hj.c:73-74``) wins on one box — tracked in BENCH as
+    ``large_inner`` so the gap stays visible round over round."""
+    return orders.join(
+        items.hint("shuffle_hash"), items.id == orders.item_id
+    ).agg(F.expr("sum(price * quantity) DIV count(*)").alias("avg_val"))
+
+
 def part2_query(items: DataFrame, orders: DataFrame) -> DataFrame:
     """The reference's Part-2 pipeline (join → per-store integer avg →
     integer avg-of-avgs, q4112.c whole file) on generated frames."""
