@@ -1131,6 +1131,119 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 38b. decontam_bloom — bloom-prefiltered decontamination, exact result
+# --------------------------------------------------------------------------
+#: Bloom bitmap width: 2^17 bits ≈ 16 bits per eval shingle at
+#: fixture scale (k=1 → fpr ≈ n/m ≈ 6%); production sizes this from
+#: an approx_count_distinct pre-pass over the eval split.
+_BLOOM_BITS = 1 << 17
+
+
+def _bloom_pos(col: str):
+    return F.pmod(F.xxhash64(col), F.lit(_BLOOM_BITS))
+
+
+@query(
+    "decontam_bloom",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {D.shingles_duck("text", _DECON_N)} AS sh
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM corpus JOIN ev USING (shingle)
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    gated=False,  # driver gate is at its 50-id cap; pytest hash-compares
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom-filter pre-pass: same contract as
+    ``decontam_ngram`` (flag corpus docs sharing any word 5-gram with
+    the held-out split), but the corpus shingle stream is first
+    pruned by a Bloom bitmap built over the eval shingles, and only
+    survivors enter the exact semi-join that removes false
+    positives. The final result is therefore EXACT and shares
+    decontam_ngram's DuckDB oracle.
+
+    The bitmap is pure Catalyst (Spark's internal
+    ``bloom_filter_agg``/``might_contain`` runtime-filter expressions
+    are not in the public FunctionRegistry): eval shingles hash to a
+    bit position (xxhash64 mod 2^17), positions aggregate into 64-bit
+    words via ``bit_or``, and the word table collapses to a ONE-ROW
+    map broadcast to every task; the probe is two integer ops and an
+    ``element_at`` per shingle, inside whole-stage codegen. k=1 is
+    the Bloom special case where one hash sets one bit — production
+    widths pick k = ln2·m/n hashes; that variant only adds k-way
+    word probes to the same plan shape.
+
+    Why this exists at 100 TB: when the eval split's distinct-shingle
+    set is large (multi-benchmark suites → 1e8+ shingles), the exact
+    broadcast-set probe weighs on every executor; a bitmap at ~16
+    bits/key is 1-2 orders smaller than the string hash set and
+    filters the corpus stream down to (true hits + ~6% false
+    positives) BEFORE any join machinery runs, so the exact verify
+    join touches contamination mass, not corpus mass. Same two-tier
+    shape as dedup_minhash: cheap approximate prune, exact verify on
+    the survivors.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id", D.shingles_from_tokens("toks", _DECON_N).alias("sh")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    bloom = (
+        ev.select(_bloom_pos("shingle").alias("pos"))
+        .select(
+            F.expr("pos DIV 64").alias("word"),
+            # F.shiftleft only takes a literal shift amount — the SQL
+            # spelling accepts a column
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bf")
+        )
+    )
+    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    pre = (
+        corpus.withColumn("pos", _bloom_pos("shingle"))
+        .join(F.broadcast(bloom))  # 1-row bitmap, broadcast NLJ
+        .filter(
+            F.expr(
+                "(coalesce(element_at(bf, pos DIV 64), 0L)"
+                " & shiftleft(1L, CAST(pos % 64 AS INT))) != 0"
+            )
+        )
+        .drop("bf", "pos")
+    )
+    return (
+        pre.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# --------------------------------------------------------------------------
 # 39. pii_scrub — regex PII detection + redaction accounting
 # --------------------------------------------------------------------------
 #: Patterns restricted to syntax Java regex and RE2 interpret
@@ -1408,10 +1521,29 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the window partition key would be (lang, shard) with
     per-shard budgets — the running sum never needs global order,
     only per-shard order, so state stays bounded.
+
+    Skew posture: a running-sum window has no partial prune — every
+    row of a partition flows through its one window task, so a
+    heavy-hitter language (tests/test_skew_stress.py stresses one
+    lang owning 50% of the corpus) serializes that language into a
+    single task. Results stay exact (asserted there); the escape
+    hatch when one language exceeds a task is exactly the (lang,
+    shard) key documented above — per-shard running sums are the
+    window analogue of ``operators/skew.py``'s salted two-phase
+    aggregation, trading global doc_id order (not required by the
+    packing contract) for bounded per-task state.
     """
     toks = _docs(spark, sf_dir).select(
         "doc_id", "lang", T.token_count("text").alias("n_tokens")
     )
+    return pack_sequences_frame(toks)
+
+
+def pack_sequences_frame(
+    toks: DataFrame, budget: int = _PACK_BUDGET
+) -> DataFrame:
+    """Core packing shape over a ``(doc_id, lang, n_tokens)`` frame;
+    shared by the fixture query and the skew stress test."""
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -1422,7 +1554,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.groupBy(
         "lang",
-        F.expr(f"tok_before DIV {_PACK_BUDGET}").alias("seq_id"),
+        F.expr(f"tok_before DIV {budget}").alias("seq_id"),
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("seq_tokens"),
@@ -1694,11 +1826,28 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|keys| rows, not |events|. At 100 TB this is the standard
     keyed-compaction shape (same exchange as the streaming state
     store's key partitioning).
+
+    Skew posture: the partial WindowGroupLimit makes this shape
+    skew-IMMUNE, not merely skew-tolerant — a heavy-hitter key
+    (tests/test_skew_stress.py plants one user owning 50% of all
+    events) is reduced to one row per map task before the exchange,
+    so the hot key's reducer receives at most one row per upstream
+    partition regardless of its share of the input. No salting is
+    needed here; ``operators/skew.py`` remains the escape hatch only
+    for aggregations whose partial state is NOT constant-size per
+    key per task.
     """
     configure_session(spark)
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts"
     )
+    return first_event_frame(ev)
+
+
+def first_event_frame(ev: DataFrame) -> DataFrame:
+    """Core first-arrival shape over a ``(user_id, event_type,
+    event_id, ts)`` frame; shared by the fixture query and the skew
+    stress test."""
     w = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
     )

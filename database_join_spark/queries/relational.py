@@ -247,6 +247,55 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 18b. join_range_binned — the O(n) scale path for the band join
+# --------------------------------------------------------------------------
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH bands(lo, hi, size_class) AS (
+        VALUES {", ".join(f"({lo}, {hi}, '{c}')" for lo, hi, c in _SIZE_BANDS)}
+    )
+    SELECT size_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(FLOOR(p_retailprice) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS avg_price
+    FROM part JOIN bands ON p_size >= lo AND p_size < hi
+    GROUP BY size_class
+    """,
+    gated=False,  # driver gate is at its 50-id cap; pytest hash-compares
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band join rewritten as an O(n) binning projection — the
+    100 TB spelling ``join_range`` documents. Because the bands are
+    disjoint [lo, hi) intervals, membership is a pure function of
+    p_size: a CASE chain assigns each row its band in the scan
+    (WholeStageCodegen, zero join, zero extra shuffle beyond the
+    group-by), where the BNLJ spelling replicates every probe row
+    against every band. Identical oracle to ``join_range`` — the two
+    spellings must agree bit-for-bit; overlapping bands would need
+    the join form (a row can land in several) and are out of contract.
+    """
+    configure_session(spark)
+    pt = table(spark, sf_dir, "part").select("p_size", "p_retailprice")
+    size_class = F.lit(None).cast("string")
+    for lo, hi, cls in reversed(_SIZE_BANDS):
+        size_class = F.when(
+            (F.col("p_size") >= lo) & (F.col("p_size") < hi), F.lit(cls)
+        ).otherwise(size_class)
+    return (
+        pt.withColumn("size_class", size_class)
+        .filter(F.col("size_class").isNotNull())
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                "sum(CAST(FLOOR(p_retailprice) AS BIGINT)) DIV count(*)"
+            ).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 19. agg_grouping_sets — ROLLUP hierarchy aggregation
 # --------------------------------------------------------------------------
 @query(

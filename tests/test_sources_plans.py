@@ -200,6 +200,27 @@ def test_dedup_first_event_single_exchange_with_group_limit(spark):
     assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
 
 
+def test_join_range_binned_has_no_join(spark):
+    """The binned spelling's whole point: band assignment is a scan
+    projection — any join operator in the plan means the rewrite
+    regressed to pair replication."""
+    plan = P.plan_string(REGISTRY["join_range_binned"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontam_bloom_prefilters_before_exact_join(spark):
+    """The bloom probe must reach the corpus stream as a filter
+    (might_contain over the broadcast 1-row aggregate) and the exact
+    verify must stay a broadcast join — a shuffle of corpus shingles
+    would defeat the pre-prune."""
+    df = REGISTRY["decontam_bloom"].fn(spark, SF_DIR)
+    plan = P.plan_string(df)
+    assert "element_at" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    P.assert_no_cartesian(df)
+
+
 def test_tfidf_topk_is_group_limit_pruned(spark):
     """The per-source top-k must plan as WindowGroupLimit, never a
     full sort of the (source, term) score table."""
