@@ -153,6 +153,35 @@ def _throughput(spark) -> dict[str, float]:
         li_cfg.outer_tuples / sec / 1e9, 4
     )
     print(f"# large_inner: {sec:.2f} s {runs}", file=sys.stderr)
+
+    # High-cardinality group-by (round 3): groups = 1e6 — the
+    # reference's q4112.csv:51-75 config (6.98 s @16T), where its
+    # global CAS agg table stops fitting cache and the local-cache
+    # trick matters most. Spark analogue: partial agg output per
+    # task ≈ |groups|, so the exchange carries ~tasks×|groups| rows.
+    # 3 repeats: round-over-round signal is the ratio, not ±5%.
+    hc_cfg = Q4112Config(
+        inner_tuples=100,
+        outer_tuples=THROUGHPUT_ROWS,
+        groups=1_000_000,
+        outer_selectivity=1.0,
+        price_max=50,
+        qty_max=20,
+    )
+    runs = []
+    for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
+        items, orders = q4112_frames(spark, hc_cfg, cores)
+        t0 = time.perf_counter()
+        part2_query(items, orders).collect()
+        runs.append(time.perf_counter() - t0)
+    timed = runs[1:]
+    sec = min(timed)
+    out["part2_groups1e6_sec"] = round(sec, 4)
+    out["part2_groups1e6_runs"] = [round(r, 4) for r in timed]
+    out["part2_groups1e6_gtuples_per_sec"] = round(
+        THROUGHPUT_ROWS / sec / 1e9, 4
+    )
+    print(f"# part2_groups1e6: {sec:.2f} s {runs}", file=sys.stderr)
     return out
 
 
@@ -171,19 +200,25 @@ def main() -> None:
 
     throughput = _throughput(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "reference_workload": throughput,
-                "throughput_rows": THROUGHPUT_ROWS,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "reference_workload": throughput,
+        "throughput_rows": THROUGHPUT_ROWS,
+    }
+    # Thread-scaling curve (VERDICT r02 #3): measured offline by
+    # scripts/thread_scaling.py (each point needs its own fresh JVM,
+    # far too slow for the per-round bench); the committed artifact
+    # rides along here so BENCH_r{N}.json carries the full curve.
+    scaling = Path(_REPO) / "THREAD_SCALING.json"
+    if scaling.exists():
+        out["thread_scaling"] = json.loads(scaling.read_text())
+        out["thread_scaling"]["source"] = "scripts/thread_scaling.py"
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1195,6 +1195,17 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as dedup_minhash: cheap approximate prune, exact verify on
     the survivors.
     """
+    pre, _corpus, ev = _bloom_frames(spark, sf_dir)
+    return (
+        pre.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def _bloom_frames(spark: SparkSession, sf_dir: str):
+    """(pre, corpus, ev): the bloom-surviving corpus shingle stream,
+    the unfiltered stream, and the distinct eval shingles."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", T.tokens("text").alias("toks")
@@ -1236,11 +1247,15 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("bf", "pos")
     )
-    return (
-        pre.join(F.broadcast(ev), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    return pre, corpus, ev
+
+
+def _bloom_survivor_counts(spark: SparkSession, sf_dir: str):
+    """(survivors, total) corpus-shingle counts around the bitmap —
+    test diagnostic proving the pre-filter prunes, not vacuously
+    passes."""
+    pre, corpus, _ev = _bloom_frames(spark, sf_dir)
+    return pre.count(), corpus.count()
 
 
 # --------------------------------------------------------------------------

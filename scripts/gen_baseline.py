@@ -22,9 +22,20 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 BEGIN = "<!-- BENCH_MEASURED:BEGIN (generated — do not edit by hand) -->"
 END = "<!-- BENCH_MEASURED:END -->"
+TS_BEGIN = "<!-- THREAD_SCALING:BEGIN (generated — do not edit by hand) -->"
+TS_END = "<!-- THREAD_SCALING:END -->"
 
 #: Reference @16T seconds for 1e9 outer tuples.
 REF = {"q4112_part1": 0.51, "q4112_part2": 1.26}
+
+#: Reference runtime (s) per thread count, mean of 5 repeats, from
+#: the reference's own CSVs at the bench configs (part 1:
+#: q4112_hj.csv:26-50 inner=100/osel=1.0; part 2: q4112.csv:1-25
+#: inner=100/groups=100).
+REF_CURVE = {
+    "part1": {1: 5.493, 2: 2.760, 4: 1.397, 8: 0.802, 16: 0.508},
+    "part2": {1: 9.597, 2: 5.313, 4: 2.760, 8: 1.673, 16: 1.257},
+}
 
 
 def newest_bench() -> Path:
@@ -65,6 +76,16 @@ def render(bench_path: Path) -> str:
             f"| {label} | {ref:.2f} s ⇒ {rows_total / ref / 1e9:.2f} G tuples/s "
             f"| {sec:.2f} s ⇒ {gps:.2f} G tuples/s | {sec / ref:.2f}× |"
         )
+    hc_sec = wl.get("part2_groups1e6_sec")
+    if hc_sec is not None:
+        hc_gps = wl.get("part2_groups1e6_gtuples_per_sec", 0.0)
+        ref_hc = 6.98  # q4112.csv:51-75, groups=1e6 @16T
+        lines.append(
+            f"| Part 2, groups=1e6 (high-cardinality agg) "
+            f"| {ref_hc:.2f} s ⇒ {rows_total / ref_hc / 1e9:.2f} G tuples/s "
+            f"| {hc_sec:.2f} s ⇒ {hc_gps:.2f} G tuples/s "
+            f"| {hc_sec / ref_hc:.2f}× |"
+        )
     li_sec = wl.get("large_inner_sec")
     if li_sec is not None:
         li_rows = wl.get("large_inner_rows", 0)
@@ -85,6 +106,44 @@ def render(bench_path: Path) -> str:
     return "\n".join(lines)
 
 
+def render_scaling() -> str:
+    """Thread-scaling table (VERDICT r02 #3) from THREAD_SCALING.json
+    next to the reference's published curve."""
+    path = REPO / "THREAD_SCALING.json"
+    data = json.loads(path.read_text())
+    points = data["points"]
+    lines = [
+        f"Artifact: `THREAD_SCALING.json` "
+        f"(scripts/thread_scaling.py, rows={data['rows']:.0e}, "
+        f"min of {data['reps']} repeats per point, fresh JVM per "
+        f"thread count). Reference curve: mean of 5 repeats from its "
+        f"CSVs (part 1 `q4112_hj.csv:26-50`, part 2 `q4112.csv:1-25`).",
+        "",
+        "| threads | ref p1 (s) | ref p1 ×| this p1 (s) | this p1 × "
+        "| ref p2 (s) | ref p2 × | this p2 (s) | this p2 × |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for t_str, p in sorted(points.items(), key=lambda kv: int(kv[0])):
+        t = int(t_str)
+        r1, r2 = REF_CURVE["part1"].get(t), REF_CURVE["part2"].get(t)
+        r1s = f"{r1:.2f}" if r1 else "—"
+        r2s = f"{r2:.2f}" if r2 else "—"
+        r1x = f"{REF_CURVE['part1'][1] / r1:.1f}×" if r1 else "—"
+        r2x = f"{REF_CURVE['part2'][1] / r2:.1f}×" if r2 else "—"
+        lines.append(
+            f"| {t} | {r1s} | {r1x} | {p['part1']:.2f} "
+            f"| {p['part1_speedup']:.1f}× | {r2s} | {r2x} "
+            f"| {p['part2']:.2f} | {p['part2_speedup']:.1f}× |"
+        )
+    return "\n".join(lines)
+
+
+def _splice(text: str, begin: str, end: str, body: str) -> str:
+    pre, rest = text.split(begin, 1)
+    _, post = rest.split(end, 1)
+    return pre + begin + "\n" + body + "\n" + end + post
+
+
 def main() -> None:
     bench_path = (
         Path(sys.argv[1]) if len(sys.argv) > 1 else newest_bench()
@@ -93,9 +152,10 @@ def main() -> None:
     text = baseline.read_text()
     if BEGIN not in text or END not in text:
         raise SystemExit("BASELINE.md markers not found")
-    pre, rest = text.split(BEGIN, 1)
-    _, post = rest.split(END, 1)
-    baseline.write_text(pre + BEGIN + "\n" + render(bench_path) + "\n" + END + post)
+    text = _splice(text, BEGIN, END, render(bench_path))
+    if TS_BEGIN in text and (REPO / "THREAD_SCALING.json").exists():
+        text = _splice(text, TS_BEGIN, TS_END, render_scaling())
+    baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 
 

@@ -221,6 +221,18 @@ def test_decontam_bloom_prefilters_before_exact_join(spark):
     P.assert_no_cartesian(df)
 
 
+def test_decontam_bloom_bitmap_actually_prunes(spark):
+    """A bitmap that passes everything would still be 'exact' after
+    the verify join — pin that the pre-filter rejects the bulk of
+    non-contaminated corpus shingles (fpr ≈ 6% at 16 bits/key, so
+    survivors ≪ corpus stream)."""
+    from database_join_spark.queries.pipeline import (
+        _bloom_survivor_counts,
+    )
+    survivors, total = _bloom_survivor_counts(spark, SF_DIR)
+    assert survivors < 0.5 * total, (survivors, total)
+
+
 def test_tfidf_topk_is_group_limit_pruned(spark):
     """The per-source top-k must plan as WindowGroupLimit, never a
     full sort of the (source, term) score table."""
