@@ -466,3 +466,221 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token, t.n "
         "FROM __docs_udtf, LATERAL frequent_tokens(doc_id, text) t"
     )
+
+
+# --------------------------------------------------------------------------
+# sessionize_events — gap-based session assignment + per-session stats
+# --------------------------------------------------------------------------
+#: Session gap in MICROSECONDS (30 min). All time math below is
+#: integer epoch-micros (Spark unix_micros ≡ DuckDB epoch_us, both
+#: exact on the fixture's µs-resolution timestamps) so the oracle
+#: hash can never drift on sub-second components or rounding mode.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS e FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, e,
+             CASE WHEN LAG(e) OVER w IS NULL
+                    OR e - LAG(e) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event,
+           CAST((MAX(e) - MIN(e)) // 1000000 AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("extras", "window", "sessionization"),
+    gated=False,  # driver gate at its 50-id cap; pytest hash-compares
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: assign each user's events to sessions
+    split at >30-minute silence, then aggregate per-session stats —
+    the classic clickstream shape, and the batch-exact twin of
+    ``F.session_window`` (which the streaming path uses; this
+    spelling additionally yields the session SEQUENCE NUMBER and
+    event ids, which session_window's merged-interval state drops).
+
+    Plan: ONE exchange on user_id serves the lag window, the running
+    sum, and the final (user_id, session_seq) group-by — Catalyst
+    reuses the partitioning because every later key set is a
+    superset prefix. At 100 TB the user_id key is high-cardinality
+    and unskewed-by-construction for event streams; a single
+    pathological user is bounded by the skew playbook documented in
+    pack_sequences/operators/skew.py.
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("e").over(w).isNull()
+            | (F.col("e") - F.lag("e").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.expr("(max(e) - min(e)) DIV 1000000").alias("duration_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# event_funnel — ordered-step conversion funnel
+# --------------------------------------------------------------------------
+@query(
+    "event_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS e FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN e END) AS t1
+      FROM ev GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT ev.user_id, s1.t1,
+             MIN(CASE WHEN event_type = 'click' AND e >= t1 THEN e END) AS t2
+      FROM ev JOIN s1 ON ev.user_id = s1.user_id AND s1.t1 IS NOT NULL
+      GROUP BY ev.user_id, s1.t1
+    ),
+    s3 AS (
+      SELECT ev.user_id, s2.t2,
+             MIN(CASE WHEN event_type = 'purchase' AND e >= t2 THEN e END) AS t3
+      FROM ev JOIN s2 ON ev.user_id = s2.user_id AND s2.t2 IS NOT NULL
+      GROUP BY ev.user_id, s2.t2
+    )
+    SELECT
+      (SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL) AS n_signup,
+      (SELECT COUNT(*) FROM s2 WHERE t2 IS NOT NULL) AS n_then_click,
+      (SELECT COUNT(*) FROM s3 WHERE t3 IS NOT NULL) AS n_then_purchase
+    """,
+    tags=("extras", "agg", "funnel"),
+    gated=False,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: users
+    counted at stage k must have performed step k AT OR AFTER their
+    first completion of step k-1 (strict event-order funnel, not
+    mere type co-occurrence).
+
+    Spelling: per-user window minima computed stage by stage —
+    t1 = first signup, t2 = first click with e ≥ t1, t3 = first
+    purchase with e ≥ t2 — then one global conditional count. The
+    windows all share ONE user_id exchange (no self-joins: the
+    oracle's join spelling exists because DuckDB window-chains can't
+    reference a window alias in the same SELECT; Spark nests
+    projections instead, same relation). Scale: one shuffle on
+    user_id + a single-row final aggregate; funnel depth adds
+    projections, never passes over the data.
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("e")
+    )
+    wu = Window.partitionBy("user_id")
+    t1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("e"))).over(wu),
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("e") >= F.col("t1")),
+                F.col("e"),
+            )
+        ).over(wu),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("e") >= F.col("t2")),
+                F.col("e"),
+            )
+        ).over(wu),
+    )
+    per_user = t3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_then_click"),
+        F.count("t3").alias("n_then_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# retention_cohorts — daily-cohort retention matrix
+# --------------------------------------------------------------------------
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ev
+    )
+    SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM firsts GROUP BY cohort_day, day_offset
+    """,
+    tags=("extras", "agg", "retention"),
+    gated=False,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by their first-activity day
+    (epoch-day integer — no calendar functions, so both engines
+    agree bit-for-bit), counted distinct at each day offset — the
+    matrix behind every retention curve.
+
+    Plan: one exchange on user_id for the cohort-day window, then
+    the distinct-count group-by re-shuffles on (cohort_day, offset).
+    The second exchange is inherent (the grouping key is derived
+    from the window result); its input is already one row per
+    (user, day) after a dropDuplicates that rides the first
+    partitioning. At 100 TB the cohort matrix is tiny (days ×
+    offsets) — partial aggregation collapses each task to its local
+    matrix before the exchange.
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    firsts = ev.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return firsts.groupBy(
+        F.col("cohort_day"),
+        (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))

@@ -233,6 +233,27 @@ def test_decontam_bloom_bitmap_actually_prunes(spark):
     assert survivors < 0.5 * total, (survivors, total)
 
 
+def test_sessionize_single_exchange(spark):
+    """Lag window, running sum, and the (user_id, session_seq)
+    group-by must all ride ONE user_id exchange — a second shuffle
+    would double the wire cost of the most common clickstream op."""
+    import re
+
+    plan = P.plan_string(REGISTRY["sessionize_events"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+
+
+def test_funnel_single_exchange_no_self_join(spark):
+    """Funnel stages are chained window minima over one user_id
+    exchange — the naive spelling self-joins events per stage."""
+    import re
+
+    df = REGISTRY["event_funnel"].fn(spark, SF_DIR)
+    plan = P.plan_string(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 2, plan
+
+
 def test_tfidf_topk_is_group_limit_pruned(spark):
     """The per-source top-k must plan as WindowGroupLimit, never a
     full sort of the (source, term) score table."""
