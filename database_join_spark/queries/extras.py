@@ -684,3 +684,81 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_day"),
         (F.col("day") - F.col("cohort_day")).alias("day_offset"),
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# anomaly_zscore — exact-arithmetic z-score outlier detection
+# --------------------------------------------------------------------------
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS vi
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, event_type, vi,
+             COUNT(*) OVER w AS n,
+             SUM(vi) OVER w AS s1,
+             SUM(vi * vi) OVER w AS s2
+      FROM v WINDOW w AS (PARTITION BY event_type)
+    ),
+    outliers AS (
+      SELECT event_id, event_type
+      FROM stats
+      WHERE (CAST(vi AS HUGEINT) * n - s1) * (CAST(vi AS HUGEINT) * n - s1)
+            > 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           CAST(MIN(event_id) AS BIGINT) AS first_outlier,
+           CAST(MAX(event_id) AS BIGINT) AS last_outlier
+    FROM outliers GROUP BY event_type
+    """,
+    tags=("extras", "agg", "quality"),
+    gated=False,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection (|value − μ| > 3σ) with
+    EXACT integer arithmetic: values scale to milli-units, and the
+    condition squares out to (vi·n − s1)² > 9·(n·s2 − s1²) — all
+    128-bit integer products (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT),
+    so no engine can disagree at the threshold the way float
+    sqrt/stddev spellings can. The quality-filter shape every
+    training pipeline runs over telemetry/metric columns.
+
+    Plan: one exchange on event_type for the window stats, filter
+    map-side, tiny final aggregate. The window is a full-partition
+    frame (no ordering), which Spark evaluates as a streaming
+    two-pass per partition — no sort. A 5-type partition key is
+    LOW-cardinality: at 100 TB swap the window for a groupBy-join
+    (5-row broadcast of the stats), the documented escape for
+    few-partition windows; at fixture scale the window spelling is
+    one scan cheaper.
+    """
+    configure_session(spark)
+    v = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("vi"),
+    )
+    w = Window.partitionBy("event_type")
+    stats = v.select(
+        "event_id",
+        "event_type",
+        "vi",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("vi").over(w).alias("s1"),
+        F.sum(F.expr("vi * vi")).over(w).alias("s2"),
+    )
+    dev = "(CAST(vi AS DECIMAL(38,0)) * n - s1)"
+    var9 = (
+        "9 * (CAST(n AS DECIMAL(38,0)) * s2"
+        " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+    )
+    outliers = stats.filter(F.expr(f"{dev} * {dev} > {var9}"))
+    return outliers.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.min("event_id").alias("first_outlier"),
+        F.max("event_id").alias("last_outlier"),
+    )

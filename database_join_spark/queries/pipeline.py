@@ -1069,6 +1069,61 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 37b. bpe_pair_counts — the BPE-training inner loop (top adjacent pairs)
+# --------------------------------------------------------------------------
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {T.TOKENS_DUCK.format(c="text")} AS t FROM documents
+    ),
+    idx AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM tok WHERE len(t) >= 2
+    )
+    SELECT t[i] AS a, t[i + 1] AS b,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM idx GROUP BY a, b
+    ORDER BY freq DESC, a, b
+    LIMIT {_VOCAB_K}
+    """,
+    tags=("pipeline", "text"),
+    gated=False,  # driver gate at its 50-id cap; pytest hash-compares
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency count — the inner loop of BPE
+    tokenizer training (count all adjacent symbol pairs, merge the
+    most frequent, repeat). One iteration over word-level tokens;
+    the loop would re-run this query on re-merged arrays.
+
+    Pairs expand map-side from each token array (explode of an index
+    sequence + two 1-based element_at — identical construction in
+    the oracle so the pair stream is definitionally equal), then the
+    same partial-agg + top-k shape as text_vocab: the exchange
+    carries (pair, partial_count) bounded by pair vocabulary, never
+    the corpus stream, and the top-k is TakeOrderedAndProject with
+    an (a, b) tiebreak.
+    """
+    toks = _docs(spark, sf_dir).select(T.tokens("text").alias("t"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.expr("explode(sequence(1, size(t) - 1))").alias("i"), "t"
+        )
+        .select(
+            F.expr("element_at(t, i)").alias("a"),
+            F.expr("element_at(t, i + 1)").alias("b"),
+        )
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "a", "b")
+        .limit(_VOCAB_K)
+    )
+
+
+# --------------------------------------------------------------------------
 # 38. decontam_ngram — benchmark decontamination by n-gram overlap
 # --------------------------------------------------------------------------
 _DECON_N = 5  # word n-gram width (real pipelines use 8-13; 5 fits fixtures)
