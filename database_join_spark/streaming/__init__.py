@@ -221,6 +221,97 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+#: Session gap for stateful sessionization, µs — must equal the
+#: batch twin's gap (queries/extras.py _SESSION_GAP_US);
+#: tests/test_streaming.py asserts stream ≡ that batch query.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming gap-sessionization via ``applyInPandasWithState`` —
+    the stateful twin of the batch ``sessionize_events`` query
+    (queries/extras.py): per user, events separated by >30 min of
+    silence start a new session; each update emits SNAPSHOTS of the
+    sessions the micro-batch touched.
+
+    Why arbitrary state instead of ``F.session_window``: the builtin
+    merges intervals but drops per-session SEQUENCE NUMBERS and
+    member event ids. Here state is one open-session tuple per user
+    (last event time, sequence counter, running stats); a batch's
+    rows are walked in (ts, event_id) order, closing and emitting a
+    session whenever the gap exceeds the threshold.
+
+    Every emitted column is MONOTONE within a (user, session_seq)
+    key (counts/max grow, min shrinks), so a replayed stream's final
+    answer is ``min/max`` over the update-mode sink — that is what
+    the batch-equivalence test aggregates. Production notes: state
+    is O(1) per user; an ``EventTimeTimeout`` would expire idle
+    users' open sessions (emitting their final snapshot) — not used
+    here because the fixture replay ends the query instead.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # state: (last_e, seq, n, first_ev, last_ev, start_e)
+        if state.exists:
+            last_e, seq, n, first_ev, last_ev, start_e = state.get
+        else:
+            last_e = seq = n = first_ev = last_ev = start_e = -1
+        out: list[tuple[int, int, int, int, int, int]] = []
+
+        def snapshot() -> tuple[int, int, int, int, int, int]:
+            return (
+                int(key[0]),
+                seq,
+                n,
+                first_ev,
+                last_ev,
+                (last_e - start_e) // 1_000_000,
+            )
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # datetime64[ns] → integer epoch-µs, matching the batch
+        # query's unix_micros discipline (exact on µs fixtures)
+        e_us = pdf["ts"].astype("int64") // 1_000
+        order = sorted(zip(e_us, pdf["event_id"]))
+        for e, ev in order:
+            e, ev = int(e), int(ev)
+            if last_e < 0 or e - last_e > _SESSION_GAP_US:
+                if last_e >= 0:
+                    out.append(snapshot())  # close previous session
+                seq, n, first_ev, last_ev, start_e = seq + 1 if seq >= 0 else 1, 0, ev, ev, e
+            n += 1
+            first_ev = min(first_ev, ev)
+            last_ev = max(last_ev, ev)
+            last_e = e
+        out.append(snapshot())  # open session's current snapshot
+        state.update((last_e, seq, n, first_ev, last_ev, start_e))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_seq", "n_events",
+                "first_event", "last_event", "duration_sec",
+            ],
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, session_seq BIGINT, n_events BIGINT, "
+            "first_event BIGINT, last_event BIGINT, duration_sec BIGINT"
+        ),
+        stateStructType=(
+            "last_e BIGINT, seq BIGINT, n BIGINT, "
+            "first_ev BIGINT, last_ev BIGINT, start_e BIGINT"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: Pointer file naming the committed version inside an upsert target.
 _LATEST = "_LATEST"
 

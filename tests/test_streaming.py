@@ -237,3 +237,30 @@ def test_stateful_running_totals(spark):
     pd.testing.assert_frame_equal(
         got[["user_id", "n_events"]], want[["user_id", "n_events"]]
     )
+
+
+def test_stateful_sessionize_equals_batch(spark):
+    """Replayed streaming sessionization must equal the batch
+    sessionize_events query exactly. Every emitted column is
+    monotone within a (user_id, session_seq) key, so the final
+    answer is min/max over the update-mode sink."""
+    ST.run_to_completion(
+        ST.sessionize_stateful(ST.events_stream(spark, SF_DIR)),
+        "t_sessionize",
+        output_mode="update",
+    )
+    got = (
+        spark.table("t_sessionize")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            {"n_events": "max", "first_event": "min",
+             "last_event": "max", "duration_sec": "max"}
+        )
+        .withColumnRenamed("max(n_events)", "n_events")
+        .withColumnRenamed("min(first_event)", "first_event")
+        .withColumnRenamed("max(last_event)", "last_event")
+        .withColumnRenamed("max(duration_sec)", "duration_sec")
+        .toPandas()
+    )
+    want = REGISTRY["sessionize_events"].fn(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
