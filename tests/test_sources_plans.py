@@ -254,6 +254,24 @@ def test_funnel_single_exchange_no_self_join(spark):
     assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 2, plan
 
 
+def test_anomaly_zscore_single_exchange_no_sort(spark):
+    """Whole-partition window stats (no ORDER BY) + filter + tiny
+    final agg: one event_type exchange and NO sort — an ordered
+    window spelling would sort 100 TB for order-free statistics."""
+    import re
+
+    plan = P.plan_string(REGISTRY["anomaly_zscore"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_bpe_pairs_aggregates_before_topk(spark):
+    """Pair counting must end in TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the pair table."""
+    df = REGISTRY["bpe_pair_counts"].fn(spark, SF_DIR)
+    P.assert_in_plan(df, "TakeOrderedAndProject")
+
+
 def test_tfidf_topk_is_group_limit_pruned(spark):
     """The per-source top-k must plan as WindowGroupLimit, never a
     full sort of the (source, term) score table."""

@@ -264,3 +264,83 @@ def test_stateful_sessionize_equals_batch(spark):
     )
     want = REGISTRY["sessionize_events"].fn(spark, SF_DIR).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stateful_sessionize_continues_sessions_across_batches(spark, tmp_path):
+    """Cross-batch state is the hard part of sessionization: a
+    session left OPEN at the end of one micro-batch must extend
+    (same sequence number, growing stats) when the next batch's
+    events arrive within the gap, and close only at a real gap.
+    Three availableNow runs share one checkpoint; update-mode
+    snapshots append to parquet via foreachBatch, and min/max over
+    them is the final answer (monotone-column contract)."""
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(subdir: str, rows: list[tuple[int, int, str]]) -> None:
+        from pyspark.sql import functions as F
+
+        spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts_s STRING"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(f"{src}/*")
+        q = (
+            ST.sessionize_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    # batch 1: user 7 opens session 1 (2 events); user 9 one event
+    write_batch("a", [(1, 7, "2024-01-01 10:00:00"),
+                      (2, 7, "2024-01-01 10:10:00"),
+                      (3, 9, "2024-01-01 10:00:00")])
+    run_once()
+    # batch 2: 10:30 is within the 30-min gap of 10:10 → session 1
+    # of user 7 must CONTINUE (n=3), not restart
+    write_batch("b", [(4, 7, "2024-01-01 10:30:00")])
+    run_once()
+    # batch 3: 12:00 is a >30-min gap → session 2 opens
+    write_batch("c", [(5, 7, "2024-01-01 12:00:00")])
+    run_once()
+
+    final = (
+        spark.read.parquet(out)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            {"n_events": "max", "first_event": "min",
+             "last_event": "max", "duration_sec": "max"}
+        )
+        .withColumnRenamed("max(n_events)", "n")
+        .withColumnRenamed("min(first_event)", "first")
+        .withColumnRenamed("max(last_event)", "last")
+        .withColumnRenamed("max(duration_sec)", "dur")
+        .toPandas()
+        .set_index(["user_id", "session_seq"])
+        .sort_index()
+    )
+    rows = {
+        (u, s): (r["n"], r["first"], r["last"], r["dur"])
+        for (u, s), r in final.iterrows()
+    }
+    assert rows == {
+        (7, 1): (3, 1, 4, 1800),   # continued across batches 1→2
+        (7, 2): (1, 5, 5, 0),      # re-opened after the 90-min gap
+        (9, 1): (1, 3, 3, 0),
+    }, rows
