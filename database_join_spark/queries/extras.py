@@ -526,6 +526,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("e")
     )
+    return sessionize_frame(ev)
+
+
+def sessionize_frame(ev: DataFrame) -> DataFrame:
+    """Core sessionization over a ``(user_id, event_id, e)`` frame
+    (e = epoch-µs); shared by the fixture query and the clickstream
+    scale probe (scripts/clickstream_probe.py)."""
     w = Window.partitionBy("user_id").orderBy("e", "event_id")
     flagged = ev.withColumn(
         "is_new",
