@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_join_spark.catalog import table
+from database_join_spark.operators.text import TOKENS_DUCK
 from database_join_spark.queries import query
 from database_join_spark.session import configure_session
 
@@ -769,3 +770,110 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_outlier"),
         F.max("event_id").alias("last_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters_approx — approx_top_k sketch (exact under capacity)
+# --------------------------------------------------------------------------
+_HH_K = 50
+#: Sketch capacity. Above every fixture's token vocabulary, so the
+#: sketch degenerates to EXACT counts (the documented condition for
+#: the DuckDB oracle below); at real corpus scale tracked < distinct
+#: makes it a true frequent-items sketch with the same plan.
+_HH_TRACKED = 100_000
+
+@query(
+    "heavy_hitters_approx",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({{T_DUCK}}) AS token FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tok GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT {_HH_K}
+    """.format(T_DUCK=TOKENS_DUCK.format(c="text")),
+    tags=("extras", "agg", "sketch"),
+    gated=False,
+)
+def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch over the corpus token stream via
+    ``approx_top_k`` — the mergeable heavy-hitters structure (each
+    partition keeps a bounded item->count buffer; buffers merge at
+    the exchange), the modern successor of the reference's
+    Flajolet-Martin sizing sketch (q4112.c:86-117) for the
+    "what dominates this column" question.
+
+    Oracle contract: with maxItemsTracked ≥ the column's distinct
+    count the sketch returns EXACT counts (nothing is ever evicted),
+    so at fixture vocabulary sizes the DuckDB top-k oracle matches
+    bit-for-bit — same discipline as approx_distinct_fm's
+    rsd-bound-vs-exact, but checkable by hash. The emitted struct
+    array is exploded and re-ranked with a (freq DESC, token)
+    tiebreak so ordering is engine-deterministic. At true corpus
+    scale tracked < distinct and results become approximate with
+    identical plan shape: one scan, sketch-sized exchange, no
+    full aggregation of the tail.
+    """
+    from database_join_spark.operators import text as T
+
+    configure_session(spark)
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(T.tokens("text")).alias("token")
+    )
+    sk = toks.agg(
+        F.expr(
+            f"approx_top_k(token, {_HH_K}, {_HH_TRACKED})"
+        ).alias("top")
+    )
+    return (
+        sk.select(F.explode("top").alias("kv"))
+        .select(
+            F.col("kv.item").alias("token"),
+            F.col("kv.count").alias("freq"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(_HH_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct_hll_sketch — mergeable HLL sketches (per-group + union)
+# --------------------------------------------------------------------------
+@query(
+    "distinct_hll_sketch",
+    tags=("extras", "agg", "sketch", "no-oracle"),
+    gated=False,
+)
+def distinct_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-event-type HLL sketches
+    (``hll_sketch_agg``) plus their UNION (``hll_union_agg``) —
+    the workflow ``approx_count_distinct`` cannot express, because it
+    never exposes the sketch: at 100 TB you persist per-partition /
+    per-day sketch binaries and answer "distinct users this quarter"
+    by unioning kilobytes instead of rescanning, exactly how the
+    reference merges per-thread FM bitmaps with OR
+    (q4112.c:343-349).
+
+    No DuckDB oracle (estimator internals differ); pytest pins each
+    estimate within the lgConfigK=12 error bound of the exact
+    distinct count and the union against the global exact
+    (tests/test_extras.py).
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    typed = per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").alias("n_distinct_est"),
+    )
+    union = per_type.agg(
+        # 2nd arg is allowDifferentLgConfigK; every input sketch here
+        # is lgConfigK=12, so strict mode
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias(
+            "n_distinct_est"
+        )
+    ).select(F.lit("ALL").alias("event_type"), "n_distinct_est")
+    return typed.unionByName(union).orderBy("event_type")

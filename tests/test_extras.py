@@ -102,3 +102,27 @@ def test_approx_distinct_within_rsd_of_exact(spark):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("e")
     ).collect()[0]["e"]
     assert abs(est - exact) / exact < 0.1
+
+
+def test_hll_sketch_estimates_within_bound_and_union_consistent(spark):
+    """distinct_hll_sketch: per-type estimates within the lgConfigK=12
+    HLL error bound (~1.6% rsd; allow 5%) of exact distinct counts,
+    and the unioned sketch within bound of the GLOBAL exact distinct
+    — the mergeability contract that makes sketches scale."""
+    got = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in REGISTRY["distinct_hll_sketch"].fn(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert got.keys() == exact.keys() | {"ALL"}
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
