@@ -168,12 +168,28 @@ def _throughput(spark) -> dict[str, float]:
         price_max=50,
         qty_max=20,
     )
+    # Fast-map sizing is the reference's local-cache ablation in
+    # Spark clothes (its 2^13-entry optimum, README-2.txt:10-11):
+    # the codegen'd two-level aggregate probes a fixed-capacity fast
+    # map before the spillable row map, and at 1e6 groups a 2^20 map
+    # (covers every group) measures 8.55 s vs 10.6 s at the 2^16
+    # default, with no regression at groups=100 (1.63 vs 1.73 s) —
+    # see BASELINE.md "Fast-map ablation". Scoped to this config;
+    # a cardinality-aware planner would set it from an
+    # approx_count_distinct estimate, exactly the reference's
+    # FM-sizing pattern (q4112.c:336-377).
+    _CAP_BIT = "spark.sql.codegen.aggregate.fastHashMap.capacityBit"
+    old_bit = spark.conf.get(_CAP_BIT, "16")
+    spark.conf.set(_CAP_BIT, "20")
     runs = []
-    for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
-        items, orders = q4112_frames(spark, hc_cfg, cores)
-        t0 = time.perf_counter()
-        part2_query(items, orders).collect()
-        runs.append(time.perf_counter() - t0)
+    try:
+        for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
+            items, orders = q4112_frames(spark, hc_cfg, cores)
+            t0 = time.perf_counter()
+            part2_query(items, orders).collect()
+            runs.append(time.perf_counter() - t0)
+    finally:
+        spark.conf.set(_CAP_BIT, old_bit)
     timed = runs[1:]
     sec = min(timed)
     out["part2_groups1e6_sec"] = round(sec, 4)
