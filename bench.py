@@ -216,25 +216,46 @@ def main() -> None:
 
     throughput = _throughput(spark)
 
+    # The driver records only the last 2,000 chars of stdout
+    # (BENCH_r03.json lost its `queries` map to exactly this —
+    # VERDICT r03 Wrong #1).  Two outputs, one invariant:
+    #   * the printed line is COMPACT — queries map + slim
+    #     reference_workload (no raw runs arrays, no embedded
+    #     thread-scaling) — and asserted under the capture window;
+    #   * the FULL payload (runs arrays, thread-scaling embed) goes
+    #     to BENCH_FULL.json in the repo, committed as the audit
+    #     artifact of record for the spreads.
+    slim_throughput = {
+        k: v for k, v in throughput.items() if not k.endswith("_runs")
+    }
     out = {
         "metric": "bench_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-        "reference_workload": throughput,
+        "reference_workload": slim_throughput,
         "throughput_rows": THROUGHPUT_ROWS,
+        "full_artifact": "BENCH_FULL.json",
     }
-    # Thread-scaling curve (VERDICT r02 #3): measured offline by
-    # scripts/thread_scaling.py (each point needs its own fresh JVM,
-    # far too slow for the per-round bench); the committed artifact
-    # rides along here so BENCH_r{N}.json carries the full curve.
+
+    full = dict(out)
+    full["reference_workload"] = throughput
     scaling = Path(_REPO) / "THREAD_SCALING.json"
     if scaling.exists():
-        out["thread_scaling"] = json.loads(scaling.read_text())
-        out["thread_scaling"]["source"] = "scripts/thread_scaling.py"
+        full["thread_scaling"] = json.loads(scaling.read_text())
+        full["thread_scaling"]["source"] = "scripts/thread_scaling.py"
+    (Path(_REPO) / "BENCH_FULL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
+    )
 
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the 2,000-char tail capture
+        out.pop("reference_workload", None)
+        out["reference_workload_in"] = "BENCH_FULL.json"
+        line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1900, f"bench line {len(line)} chars (>1900)"
+    print(line)
     spark.stop()
 
 

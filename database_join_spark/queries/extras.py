@@ -735,6 +735,15 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/stddev spellings can. The quality-filter shape every
     training pipeline runs over telemetry/metric columns.
 
+    Validity bound (exact-arithmetic claim): with |vi| ≤ V and n
+    rows per partition, |dev| = |vi·n − s1| ≤ 2·V·n so dev² ≤
+    4·V²·n², and |9·(n·s2 − s1²)| ≤ 9·V²·n² — both inside
+    DECIMAL(38,0) while V²·n² < ~1e37, e.g. V = 1e6 (milli-scaled
+    values to ±1,000) supports n up to ~3e12 rows per event_type.
+    Beyond that the in-predicate ``assert_true`` guard below raises
+    instead of silently dropping outliers (ANSI-off overflow is
+    NULL; DuckDB HUGEINT errors — the guard restores fail-loudly).
+
     Plan: one exchange on event_type for the window stats, filter
     map-side, tiny final aggregate. The window is a full-partition
     frame (no ordering), which Spark evaluates as a streaming
@@ -764,7 +773,20 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "9 * (CAST(n AS DECIMAL(38,0)) * s2"
         " - CAST(s1 AS DECIMAL(38,0)) * s1)"
     )
-    outliers = stats.filter(F.expr(f"{dev} * {dev} > {var9}"))
+    # Fail-loud overflow guard: with ANSI off a DECIMAL(38,0)
+    # overflow yields NULL, and a NULL predicate would silently DROP
+    # outliers (DuckDB's HUGEINT errors instead). The guard lives
+    # inside the predicate so column pruning cannot remove it:
+    # assert_true returns NULL when its condition holds, raises
+    # otherwise. NULL vi rows are exempt (their NULL product is
+    # three-valued logic, not overflow — both engines exclude them).
+    guard = (
+        f"assert_true(vi IS NULL OR ({dev} * {dev} IS NOT NULL "
+        f"AND ({var9}) IS NOT NULL), "
+        "'anomaly_zscore: DECIMAL(38,0) overflow — see docstring "
+        "bound') IS NULL"
+    )
+    outliers = stats.filter(F.expr(f"{guard} AND {dev} * {dev} > {var9}"))
     return outliers.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_outliers"),
         F.min("event_id").alias("first_outlier"),
@@ -821,9 +843,16 @@ def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         F.explode(T.tokens("text")).alias("token")
     )
+    # Ask the sketch for 2K candidates: approx_top_k's tiebreak at
+    # the rank-K count boundary is unspecified, while the oracle
+    # breaks ties (freq DESC, token ASC). With 2K candidates every
+    # token tied at the rank-K count is in the candidate set (under
+    # the exact-under-capacity contract), so the deterministic
+    # re-rank + LIMIT K below fixes the boundary — a K-sized ask
+    # could return a different (valid) tied subset than DuckDB.
     sk = toks.agg(
         F.expr(
-            f"approx_top_k(token, {_HH_K}, {_HH_TRACKED})"
+            f"approx_top_k(token, {2 * _HH_K}, {_HH_TRACKED})"
         ).alias("top")
     )
     return (

@@ -286,7 +286,18 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
             n += 1
             first_ev = min(first_ev, ev)
             last_ev = max(last_ev, ev)
-            last_e = e
+            # Never regress the gap cursor: a cross-batch late
+            # arrival (e < last_e) is folded into the open session's
+            # stats, but advancing time keeps measuring gaps from
+            # the TRUE latest event — otherwise one late row could
+            # trigger a spurious session split on the next in-gap
+            # event and silently diverge from batch sessionize_events
+            # (which sees a totally ordered replay). A late event
+            # that belongs to an already-CLOSED session is
+            # unrecoverable without unbounded state; it lands in the
+            # open session — the documented contract, same trade
+            # as watermark-expired rows in windowed aggs.
+            last_e = max(last_e, e)
         out.append(snapshot())  # open session's current snapshot
         state.update((last_e, seq, n, first_ev, last_ev, start_e))
         yield pd.DataFrame(

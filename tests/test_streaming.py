@@ -344,3 +344,72 @@ def test_stateful_sessionize_continues_sessions_across_batches(spark, tmp_path):
         (7, 2): (1, 5, 5, 0),      # re-opened after the 90-min gap
         (9, 1): (1, 3, 3, 0),
     }, rows
+
+
+def test_stateful_sessionize_late_event_does_not_regress_cursor(
+    spark, tmp_path
+):
+    """A cross-batch LATE arrival (event time before the open
+    session's last seen event) must fold into the open session
+    without regressing the gap cursor: the next event measured
+    against the TRUE latest time must not see a spurious gap.
+    Regression test for the max(last_e, e) cursor rule — with an
+    unconditional `last_e = e` the 10:45 event below would sit
+    40 min after the late 10:05 row and wrongly open session 2."""
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(subdir: str, rows: list[tuple[int, int, str]]) -> None:
+        from pyspark.sql import functions as F
+
+        spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts_s STRING"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(f"{src}/*")
+        q = (
+            ST.sessionize_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    write_batch("a", [(1, 7, "2024-01-01 10:00:00"),
+                      (2, 7, "2024-01-01 10:20:00")])
+    run_once()
+    # LATE: 10:05 < the session's last event (10:20)
+    write_batch("b", [(3, 7, "2024-01-01 10:05:00")])
+    run_once()
+    # 10:45 is 25 min after the true latest (10:20) → must CONTINUE
+    write_batch("c", [(4, 7, "2024-01-01 10:45:00")])
+    run_once()
+
+    final = (
+        spark.read.parquet(out)
+        .groupBy("user_id", "session_seq")
+        .agg({"n_events": "max", "duration_sec": "max"})
+        .withColumnRenamed("max(n_events)", "n")
+        .withColumnRenamed("max(duration_sec)", "dur")
+        .toPandas()
+        .set_index(["user_id", "session_seq"])
+        .sort_index()
+    )
+    rows = {
+        (u, s): (r["n"], r["dur"]) for (u, s), r in final.iterrows()
+    }
+    assert rows == {(7, 1): (4, 2700)}, rows
