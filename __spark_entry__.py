@@ -40,18 +40,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver gates at most 50 ids per round (CORRECTNESS_r01 cut the
     then-60-entry registry at exactly 50 rows); the registry therefore
-    marks exactly 50 queries ``gated``, rotated per VERDICT r02 #6 so
-    every oracled id earns a driver CORRECTNESS row across rounds:
-    the 33 SURVEY §2 ids are retained permanently, and the 17
-    remaining slots now carry ids with no r01/r02 row — tpch_q8/q13/
-    q17/q21/q22, corpus_clean, corpus_mix, decontam_ngram,
-    dedup_clusters, dedup_first_event, dedup_incremental,
-    embed_quantize, pack_sequences, pii_scrub, quality_repetition,
-    sample_stratified, tfidf_terms. (17 is the cap-constrained max:
-    33 retained + 17 fresh = 50.) Everything rotated out holds a
-    green r01/r02 row and stays hash-compared by the identical check
-    in pytest (tests/test_oracle_parity.py runs gated and ungated
-    alike).
+    marks exactly 50 queries ``gated``, rotated each round (VERDICT
+    r02 #6, r03 #4) so every oracled id earns a driver CORRECTNESS
+    row across rounds. Round-4 rotation: the 33 SURVEY §2 ids are
+    retained permanently; the 17 free slots carry the 15 ids with no
+    r01–r03 row — anomaly_zscore, bpe_pair_counts, decontam_bloom,
+    dedup_substring (new r04), distinct_hll_sketch, event_funnel,
+    heavy_hitters_approx, join_range_binned, ngram_counts (new r04),
+    retention_cohorts, sample_hash_split (new r04), seq_len_hist,
+    sessionize_events, stream_interval_join, text_vocab — plus two
+    refreshes whose only row is r01 (join_asof, agg_quantile_exact).
+    Everything rotated out holds a green r02/r03 row and stays
+    hash-compared by the identical check in pytest
+    (tests/test_oracle_parity.py runs gated and ungated alike).
     """
     return {
         name: spec.fn for name, spec in load_all().items() if spec.gated

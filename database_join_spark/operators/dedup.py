@@ -98,6 +98,36 @@ def shingles_duck(col: str = "text", n: int = 3) -> str:
     )
 
 
+def ngrams_from_tokens(tok_col: str, n: int) -> Column:
+    """ORDERED, NON-distinct word n-grams from a token-array column —
+    element ``i`` is the n-gram starting at token position ``i``
+    (0-based), so ``posexplode`` recovers (position, n-gram) pairs.
+
+    The positional/multiset sibling of :func:`shingles_from_tokens`:
+    substring-level dedup needs positions (where in the doc is the
+    duplicated span) and language-model n-gram counting needs
+    multiplicity, both of which ``array_distinct`` destroys.
+    """
+    return F.expr(
+        f"IF(size({tok_col}) < {n}, array(), "
+        f"transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> concat_ws(' ', "
+        + ", ".join(f"element_at({tok_col}, i + {k + 1})" for k in range(n))
+        + ")))"
+    )
+
+
+def ngrams_duck(col: str = "text", n: int = 3) -> str:
+    """DuckDB spelling of :func:`ngrams_from_tokens` (ordered,
+    non-distinct; list index i yields the n-gram at 0-based token
+    position i-1)."""
+    toks = TOKENS_DUCK.format(c=col)
+    return (
+        f"[array_to_string(({toks})[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({toks}) - {n - 2})]"
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash-LSH
 # --------------------------------------------------------------------------

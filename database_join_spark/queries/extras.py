@@ -69,7 +69,7 @@ _ASOF_ARGS = dict(
     # rotated out of the 50-slot driver gate (green r01 row; the
     # bucketed scale variant below holds the gated slot, and pytest
     # hash-parity still runs the identical check here)
-    gated=False,
+    gated=True,  # gated r04 (first driver row / refresh)
     oracle=_ASOF_ORACLE,
     tags=("extras", "join"),
 )
@@ -247,7 +247,7 @@ def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "agg_quantile_exact",
-    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
+    gated=True,  # gated r04 (first driver row / refresh)
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS q25,
@@ -505,7 +505,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("extras", "window", "sessionization"),
-    gated=False,  # driver gate at its 50-id cap; pytest hash-compares
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: assign each user's events to sessions
@@ -588,7 +588,7 @@ def sessionize_frame(ev: DataFrame) -> DataFrame:
       (SELECT COUNT(*) FROM s3 WHERE t3 IS NOT NULL) AS n_then_purchase
     """,
     tags=("extras", "agg", "funnel"),
-    gated=False,
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase: users
@@ -664,7 +664,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM firsts GROUP BY cohort_day, day_offset
     """,
     tags=("extras", "agg", "retention"),
-    gated=False,
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by their first-activity day
@@ -724,7 +724,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM outliers GROUP BY event_type
     """,
     tags=("extras", "agg", "quality"),
-    gated=False,
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outlier detection (|value − μ| > 3σ) with
@@ -816,7 +816,7 @@ _HH_TRACKED = 100_000
     LIMIT {_HH_K}
     """.format(T_DUCK=TOKENS_DUCK.format(c="text")),
     tags=("extras", "agg", "sketch"),
-    gated=False,
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch over the corpus token stream via
@@ -872,7 +872,7 @@ def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "distinct_hll_sketch",
     tags=("extras", "agg", "sketch", "no-oracle"),
-    gated=False,
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def distinct_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-event-type HLL sketches

@@ -209,6 +209,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     tags=("pipeline", "dedup"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
@@ -847,6 +848,7 @@ _NTOK_DUCK = f"len({T.TOKENS_DUCK.format(c='text')})"
     FROM kept GROUP BY lang
     """,
     tags=("pipeline", "dedup", "text"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning: quality gate → exact dedup
@@ -934,6 +936,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source, fp FROM r WHERE rn = 1
     """,
     tags=("pipeline", "dedup"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: admit only new-batch docs that are novel
@@ -989,6 +992,7 @@ _Q8_DUCK = (
     FROM q
     """,
     tags=("pipeline", "similarity"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-embedding int8 quantization + exact fixed-point norm stats
@@ -1042,7 +1046,7 @@ _VOCAB_K = 50
     LIMIT {_VOCAB_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-{k} tokens by frequency — the counting
@@ -1088,7 +1092,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT {_VOCAB_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # driver gate at its 50-id cap; pytest hash-compares
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair frequency count — the inner loop of BPE
@@ -1149,6 +1153,7 @@ _DECON_MOD = 37  # doc_id % 37 == 0 marks the held-out "benchmark" split
     GROUP BY doc_id
     """,
     tags=("pipeline", "dedup"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag corpus documents sharing any
@@ -1218,7 +1223,7 @@ def _bloom_pos(col: str):
     GROUP BY doc_id
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # driver gate is at its 50-id cap; pytest hash-compares
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with a Bloom-filter pre-pass: same contract as
@@ -1364,6 +1369,7 @@ _PII_SUFFIX_DUCK = (
     FROM scrub GROUP BY source
     """,
     tags=("pipeline", "text"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: detect and redact emails / IPv4s / phone
@@ -1443,6 +1449,7 @@ def _sample_case(dialect_str_cast: str) -> str:
     FROM documents GROUP BY lang
     """,
     tags=("pipeline", "sampling"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus downsampling: per-language target rates
@@ -1500,6 +1507,7 @@ _REP_K = 20
     LIMIT {_REP_K}
     """,
     tags=("pipeline", "text"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality scoring (the Gopher/MassiveText rule
@@ -1575,6 +1583,7 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
     FROM cum GROUP BY lang, seq_id
     """,
     tags=("pipeline", "sampling"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents (per language, in doc_id
@@ -1687,6 +1696,7 @@ _MIX_COIN_DUCK = _mix_coin("VARCHAR", "CAST(('0x' || {h}) AS BIGINT)")
     GROUP BY d.source
     """,
     tags=("pipeline", "sampling"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture reweighting: hit target per-source weights by
@@ -1766,6 +1776,7 @@ _TFIDF_K = 5
     FROM scored WHERE rn <= {_TFIDF_K}
     """,
     tags=("pipeline", "text"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k distinguishing terms per source by TF-IDF — the corpus
@@ -1836,7 +1847,7 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks GROUP BY bucket_bits
     """,
     tags=("pipeline", "text"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document token-length histogram in power-of-two buckets — the
@@ -1881,6 +1892,7 @@ def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("pipeline", "dedup", "streaming"),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-arrival dedup per (user, event type): the batch twin of
@@ -1930,4 +1942,258 @@ def first_event_frame(ev: DataFrame) -> DataFrame:
             F.col("event_id").alias("first_event_id"),
             F.col("ts").alias("first_ts"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 39. dedup_substring — cross-document exact substring dedup (ExactSubstr)
+# --------------------------------------------------------------------------
+_SUBSTR_K = 8  # token span width (public ExactSubstr uses ~50; 8 fits fixtures)
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.TOKENS_DUCK.format(c="text")} AS t FROM documents
+    ),
+    posns AS (
+      SELECT doc_id, t,
+             unnest(range(0, len(t) - {_SUBSTR_K} + 1)) AS pos
+      FROM toks WHERE len(t) >= {_SUBSTR_K}
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos + 1 : pos + {_SUBSTR_K}], ' ') AS win
+      FROM posns
+    ),
+    dup AS (
+      SELECT win FROM wins GROUP BY win HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM dup)
+    ),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(LAG(pos) OVER w, -{_SUBSTR_K + 1})
+                            + {_SUBSTR_K} THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marks
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SUBSTR_K} - 1 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup, the publicly documented
+    ExactSubstr discipline (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): any ≥k-token span appearing
+    verbatim in ≥2 distinct documents is reported, per document, as
+    a merged removal span ``[span_start, span_end]`` in token
+    positions (0-based, end-inclusive), ready for span excision.
+
+    Spelling: every k-token window (position-tagged, non-distinct —
+    :func:`operators.dedup.ngrams_from_tokens` + ``posexplode``)
+    flows into ONE groupBy on the window text; a window is duplicated
+    iff ``min(doc_id) <> max(doc_id)`` (partial-aggregable — no
+    COUNT DISTINCT). Hit positions semi-join back and overlapping-
+    or-adjacent covered ranges merge with the classic gaps-and-
+    islands pass (lag + running sum) on a second, doc_id exchange.
+
+    100 TB: the first exchange carries (window-key, doc_id, pos) —
+    the window STRING here because the DuckDB oracle must compute the
+    identical key; production swaps it for ``xxhash64(win)`` (same
+    plan, 8-byte keys) and, at trillions of windows where 64-bit
+    birthday collisions bite, a (xxhash64(w), xxhash64(w||salt))
+    pair — collisions then only ever ADD a span candidate, which the
+    optional verbatim re-check removes. The second exchange is
+    per-doc and output-bounded. No pair enumeration anywhere: a
+    window shared by d docs costs d rows, not d².
+
+    Reference parity: nothing like this exists in the reference (two
+    uint32 tables, q4112.h:13-41); it extends the same hash-group
+    machinery as dedup_exact onto span granularity.
+    """
+    docs = _docs(spark, sf_dir)
+    wins = (
+        docs.select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                D.ngrams_from_tokens("toks", _SUBSTR_K)
+            ).alias("pos", "win"),
+        )
+    )
+    dup = (
+        wins.groupBy("win")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("win")
+    )
+    hits = wins.join(dup, "win", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marks = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(w), F.lit(-(_SUBSTR_K + 1)))
+            + _SUBSTR_K,
+            1,
+        ).otherwise(0),
+    )
+    isl = marks.withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + _SUBSTR_K - 1).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+# --------------------------------------------------------------------------
+# 40. sample_hash_split — deterministic train/val/test corpus split
+# --------------------------------------------------------------------------
+_SPLIT_MOD = 1000       # per-mille bucket resolution
+_SPLIT_MIX = 2654435761  # Knuth multiplicative constant (public)
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             (doc_id * {_SPLIT_MIX}) % {_SPLIT_MOD} AS bucket,
+             len({T.TOKENS_DUCK.format(c="text")}) AS n_toks
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY 1
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by key mixing —
+    the reproducible-split primitive every training pipeline needs:
+    membership is a pure function of doc_id (stable across runs,
+    machines, and engines; no sampling state, no seed file), and
+    adding documents never moves an existing one between splits.
+
+    The mixer here is the Knuth multiplicative constant mod 1000 so
+    the DuckDB oracle computes the IDENTICAL buckets with portable
+    integer arithmetic; production uses ``xxhash64(doc_id, salt)``
+    (better avalanche on structured ids — same plan, still a pure
+    map). Sequential-id bias is the known trade: multiplicative
+    mixing scatters runs of consecutive ids well enough for split
+    balance (fixture buckets land within ~1% of 800/100/100), but
+    adversarial id patterns want the xxhash64 form.
+
+    100 TB: a pure map plus a 3-group partial aggregate — the
+    exchange carries 3 rows per task. The per-doc assignment column
+    (`bucket < 800`) is the filter a writer pushes down when
+    materializing each split; no data moves to compute membership.
+    """
+    docs = _docs(spark, sf_dir)
+    b = docs.select(
+        "doc_id",
+        F.expr(f"pmod(doc_id * {_SPLIT_MIX}L, {_SPLIT_MOD})").alias(
+            "bucket"
+        ),
+        F.size(T.tokens("text")).alias("n_toks"),
+    )
+    return (
+        b.withColumn(
+            "split",
+            F.when(F.col("bucket") < 800, "train")
+            .when(F.col("bucket") < 900, "val")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 41. ngram_counts — language-model n-gram frequency table (n = 2 and 3)
+# --------------------------------------------------------------------------
+_NGRAM_MIN_FREQ = 5  # tail cutoff; keeps output vocabulary-, not corpus-sized
+
+@query(
+    "ngram_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT 2 AS n, unnest({D.ngrams_duck("text", 2)}) AS ngram
+      FROM documents
+      UNION ALL
+      SELECT 3 AS n, unnest({D.ngrams_duck("text", 3)}) AS ngram
+      FROM documents
+    )
+    SELECT CAST(n AS BIGINT) AS n, ngram,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM g GROUP BY n, ngram HAVING COUNT(*) >= {_NGRAM_MIN_FREQ}
+    """,
+    tags=("pipeline", "text"),
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table (bigrams + trigrams, multiset
+    counts, tail below {min_freq} occurrences cut) — the raw
+    material for KN-smoothed LM scoring, contamination fingerprints,
+    and the count tables BPE merges consume (bpe_pair_counts is the
+    character-level sibling).
+
+    One documents scan: both n-gram arrays are built per row and
+    concatenated as (n, ngram) structs before a single explode, so
+    adding orders widens a projection instead of adding scans. The
+    struct build is a per-row array expression (interpreted, linear
+    in doc length); the groupBy count that dominates at scale is
+    codegen'd with map-side partial aggregation.
+
+    100 TB: the exchange carries (n-gram, partial count) — bounded
+    by VOCABULARY, not corpus size, the same reduction argument as
+    bpe_pair_counts. The HAVING tail cut applies post-merge (a
+    count's tail membership isn't knowable map-side); if even the
+    vocabulary-sized exchange is too wide, heavy_hitters_approx is
+    the sketch-sized fallback with the same output shape.
+    """.format(min_freq=_NGRAM_MIN_FREQ)
+    docs = _docs(spark, sf_dir)
+    arr = docs.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        D.ngrams_from_tokens("toks", 2).alias("g2"),
+        D.ngrams_from_tokens("toks", 3).alias("g3"),
+    )
+    kv = arr.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(g2, g -> named_struct("
+                "'n', CAST(2 AS BIGINT), 'ngram', g)), "
+                "transform(g3, g -> named_struct("
+                "'n', CAST(3 AS BIGINT), 'ngram', g)))"
+            )
+        ).alias("kv")
+    ).select("kv.n", "kv.ngram")
+    return (
+        kv.groupBy("n", "ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _NGRAM_MIN_FREQ)
     )

@@ -359,7 +359,7 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
     tags=("streaming",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r04 (first driver row / refresh)
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase→click attribution: each purchase joined to the same

@@ -762,6 +762,7 @@ _DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
     GROUP BY o_year
     """,
     tags=("tpch",),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 national market share: the deepest fixture join (7 tables,
@@ -850,6 +851,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     """,
     tags=("tpch",),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 customer distribution: LEFT OUTER join with the filter ON
@@ -902,6 +904,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < qty_limit
     """,
     tags=("tpch",),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity-order revenue: the correlated scalar
@@ -970,6 +973,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     """,
     tags=("tpch",),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting: the sole-blame shape —
@@ -1057,6 +1061,7 @@ _Q22_NATIONS = "(1, 3, 5, 7, 9, 11, 13)"
     GROUP BY c_nationkey
     """,
     tags=("tpch",),
+    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 global sales opportunity: rich-but-idle customers — above
