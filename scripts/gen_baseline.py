@@ -24,6 +24,8 @@ BEGIN = "<!-- BENCH_MEASURED:BEGIN (generated — do not edit by hand) -->"
 END = "<!-- BENCH_MEASURED:END -->"
 TS_BEGIN = "<!-- THREAD_SCALING:BEGIN (generated — do not edit by hand) -->"
 TS_END = "<!-- THREAD_SCALING:END -->"
+SK_BEGIN = "<!-- SKEW_SCALING:BEGIN (generated — do not edit by hand) -->"
+SK_END = "<!-- SKEW_SCALING:END -->"
 
 #: Reference @16T seconds for 1e9 outer tuples.
 REF = {"q4112_part1": 0.51, "q4112_part2": 1.26}
@@ -56,9 +58,13 @@ def render(bench_path: Path) -> str:
     wl = payload.get("reference_workload", {})
     rows_total = payload.get("throughput_rows", 1_000_000_000)
 
+    if "n" in bench:
+        origin = f"round {bench['n']}, local[{bench.get('cpus', '?')}]"
+    else:
+        # bench.py's own full-payload sidecar (no driver wrapper)
+        origin = "direct bench.py run, local[32]"
     lines = [
-        f"Artifact of record: `{bench_path.name}` "
-        f"(round {bench.get('n', '?')}, local[{bench.get('cpus', '?')}]).",
+        f"Artifact of record: `{bench_path.name}` ({origin}).",
         "",
         "| workload | reference @16T | this engine @local[32] | ratio |",
         "|---|---|---|---|",
@@ -138,6 +144,39 @@ def render_scaling() -> str:
     return "\n".join(lines)
 
 
+def render_skew_scaling() -> str:
+    """Skew-config thread-scaling table (VERDICT r03 #9) from
+    THREAD_SCALING_SKEW.json next to the reference's q4112.csv:101-125
+    curve (groups=1e8, hh_groups=100, p=0.5 — the config where the
+    reference's thread-local caches make skew FASTER)."""
+    path = REPO / "THREAD_SCALING_SKEW.json"
+    data = json.loads(path.read_text())
+    points = data["points"]
+    lines = [
+        f"Artifact: `THREAD_SCALING_SKEW.json` "
+        f"(scripts/thread_scaling.py --skew, rows={data['rows']:.0e}, "
+        f"Part 2 at {data.get('config', '')}, min of {data['reps']} "
+        f"repeats, fresh JVM per point). Reference minima from "
+        f"`q4112.csv:101-125`.",
+        "",
+        "| threads | ref p2 (s) | ref × | this p2 (s) | this × "
+        "| ratio vs ref |",
+        "|---|---|---|---|---|---|",
+    ]
+    ref_1t = 50.86  # q4112.csv:101-105 minimum at 1 thread
+    for t_str, p in sorted(points.items(), key=lambda kv: int(kv[0])):
+        ref = p.get("ref_sec")
+        refs = f"{ref:.2f}" if ref else "—"
+        refx = f"{ref_1t / ref:.1f}×" if ref else "—"
+        ratio = p.get("ratio_vs_ref")
+        ratios = f"{ratio:.2f}×" if ratio else "—"
+        lines.append(
+            f"| {t_str} | {refs} | {refx} | {p['part2']:.2f} "
+            f"| {p['part2_speedup']:.1f}× | {ratios} |"
+        )
+    return "\n".join(lines)
+
+
 def _splice(text: str, begin: str, end: str, body: str) -> str:
     pre, rest = text.split(begin, 1)
     _, post = rest.split(end, 1)
@@ -155,6 +194,8 @@ def main() -> None:
     text = _splice(text, BEGIN, END, render(bench_path))
     if TS_BEGIN in text and (REPO / "THREAD_SCALING.json").exists():
         text = _splice(text, TS_BEGIN, TS_END, render_scaling())
+    if SK_BEGIN in text and (REPO / "THREAD_SCALING_SKEW.json").exists():
+        text = _splice(text, SK_BEGIN, SK_END, render_skew_scaling())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 

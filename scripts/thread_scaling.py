@@ -30,6 +30,10 @@ from pathlib import Path
 _REPO = str(Path(__file__).resolve().parent.parent)
 
 #: Run inside a subprocess: one (threads, rows, reps) point.
+#: ``skew`` switches to the reference's heavy-hitter Part-2 config
+#: (groups=1e8, hh_groups=100, p=0.5 — q4112.csv:101-125): Part 2
+#: only, since the skew finding is a group-by phenomenon, with the
+#: same 1-task-per-thread protocol skew_probe.py uses.
 _POINT_PROG = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -39,7 +43,7 @@ from database_join_spark.datagen import (
 )
 from database_join_spark.session import RUNTIME_CONFS
 
-threads, rows, reps = {threads}, {rows}, {reps}
+threads, rows, reps, skew = {threads}, {rows}, {reps}, {skew}
 b = (SparkSession.builder.appName(f"thread-scaling-{{threads}}")
      .master(f"local[{{threads}}]")
      .config("spark.sql.shuffle.partitions", str(threads))
@@ -50,13 +54,21 @@ for k, v in RUNTIME_CONFS.items():
 spark = b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
-cfg = Q4112Config(inner_tuples=100, outer_tuples=rows, groups=100,
-                  outer_selectivity=1.0, price_max=50, qty_max=20)
+if skew:
+    cfg = Q4112Config(inner_tuples=100, outer_tuples=rows,
+                      groups=100_000_000, outer_selectivity=1.0,
+                      price_max=50, qty_max=20,
+                      hh_groups=100, hh_prob=0.5)
+    plan = [("part2", part2_query, threads)]
+else:
+    cfg = Q4112Config(inner_tuples=100, outer_tuples=rows, groups=100,
+                      outer_selectivity=1.0, price_max=50, qty_max=20)
+    plan = [("part1", part1_query, 4 * threads),
+            ("part2", part2_query, threads)]
 spark.range(0, rows // 5).agg(F.sum("id")).collect()  # JIT warm-up
 
 out = {{}}
-for name, q, parts in [("part1", part1_query, 4 * threads),
-                       ("part2", part2_query, threads)]:
+for name, q, parts in plan:
     runs = []
     for _ in range(reps + 1):  # first run = codegen warm-up
         items, orders = q4112_frames(spark, cfg, parts)
@@ -70,8 +82,10 @@ spark.stop()
 """
 
 
-def run_point(threads: int, rows: int, reps: int) -> dict:
-    prog = _POINT_PROG.format(repo=_REPO, threads=threads, rows=rows, reps=reps)
+def run_point(threads: int, rows: int, reps: int, skew: bool = False) -> dict:
+    prog = _POINT_PROG.format(
+        repo=_REPO, threads=threads, rows=rows, reps=reps, skew=skew
+    )
     proc = subprocess.run(
         [sys.executable, "-c", prog],
         capture_output=True,
@@ -86,30 +100,48 @@ def run_point(threads: int, rows: int, reps: int) -> dict:
     )
 
 
+#: Reference minima for the skew config (q4112.csv:101-125, ns→s),
+#: keyed by thread count — gen_baseline.py joins these into the
+#: BASELINE.md skew-scaling table.
+SKEW_REF_SEC = {1: 50.86, 2: 25.25, 4: 13.10, 8: 7.15, 16: 5.49}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000_000)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--threads", default="1,2,4,8,16,32")
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="heavy-hitter Part-2 config (groups=1e8, hh=100, p=0.5)",
+    )
     args = ap.parse_args()
 
     threads = [int(t) for t in args.threads.split(",")]
     table: dict[str, dict] = {}
     for t in threads:
-        point = run_point(t, args.rows, args.reps)
+        point = run_point(t, args.rows, args.reps, skew=args.skew)
         table[str(t)] = point
-        print(
-            f"# local[{t:>2}]: part1 {point['part1']:7.2f} s   "
-            f"part2 {point['part2']:7.2f} s",
-            file=sys.stderr,
-        )
-    base1, base2 = table[str(threads[0])]["part1"], table[str(threads[0])]["part2"]
+        line = f"# local[{t:>2}]:"
+        if "part1" in point:
+            line += f" part1 {point['part1']:7.2f} s  "
+        line += f" part2 {point['part2']:7.2f} s"
+        print(line, file=sys.stderr)
+    base = table[str(threads[0])]
     for t in threads:
         p = table[str(t)]
-        p["part1_speedup"] = round(base1 / p["part1"], 2)
-        p["part2_speedup"] = round(base2 / p["part2"], 2)
+        if "part1" in p:
+            p["part1_speedup"] = round(base["part1"] / p["part1"], 2)
+        p["part2_speedup"] = round(base["part2"] / p["part2"], 2)
+        if args.skew and t in SKEW_REF_SEC:
+            p["ref_sec"] = SKEW_REF_SEC[t]
+            p["ratio_vs_ref"] = round(p["part2"] / SKEW_REF_SEC[t], 2)
     result = {"rows": args.rows, "reps": args.reps, "points": table}
+    if args.skew:
+        result["config"] = "groups=1e8 hh_groups=100 hh_prob=0.5 (part2)"
+        result["ref_csv"] = "q4112.csv:101-125"
     print(json.dumps(result))
     if args.json:
         Path(args.json).write_text(json.dumps(result, indent=1))
