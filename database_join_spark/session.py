@@ -50,6 +50,43 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Build-time confs for the WIDE-EXCHANGE regime: aggregations/joins
+#: whose exchange carries ~input-sized state (no map-side reduction —
+#: e.g. group-by at ~1e8 nearly-distinct groups over 1e9 rows, the
+#: reference's q4112.csv:76-100 config). Measured on that workload at
+#: 1e9 rows (SPILL_PROBE.json, fresh JVM + page-cache drop per
+#: config): defaults 207 s → these confs + 4× map tasks + 48g heap
+#: 35.2 s (5.9×). Why each matters there — and why they are NOT
+#: session defaults:
+#:
+#: - zstd shuffle compression: ~2× smaller shuffle bytes on
+#:   integer-dense payloads; pure win once the exchange is tens of
+#:   GB, measurable CPU tax on the small fixture exchanges.
+#: - 1m file/spill buffers: fewer, larger flushes; irrelevant below
+#:   ~GB spill volume.
+#: - 4× map tasks (caller-side: pass more input partitions): each
+#:   map-side agg holds a quarter of the state, spilling later or
+#:   not at all; at default task counts the per-task hash map is the
+#:   spill driver.
+#: - Big heap (48g driver for local mode): with the reduced spill
+#:   mass, in-heap agg state beats early-spill streaming (88 s at
+#:   8g vs 35 s at 48g, SPILL_PROBE combo8g vs combo). Untuned, the
+#:   relationship INVERTS (8g 124 s beats 48g 207 s — orderly early
+#:   spill beats GC-thrashed giant heaps), so heap and shuffle confs
+#:   must move together.
+#:
+#: These are SparkConf-level settings (compression codec, buffers
+#: are read at shuffle-writer construction) — they must be applied
+#: at session BUILD time (get_spark(profile="wide-exchange")), not
+#: via spark.conf.set.
+WIDE_EXCHANGE_CONFS: dict[str, str] = {
+    "spark.io.compression.codec": "zstd",
+    "spark.shuffle.file.buffer": "1m",
+    "spark.shuffle.spill.diskWriteBufferSize": "1m",
+    "spark.shuffle.unsafe.file.output.buffer": "1m",
+}
+
+
 #: DataFrames persisted by the PREVIOUS query, released when the next
 #: query begins (see :func:`track_persist`).
 _PERSIST_POOL: list = []
@@ -102,6 +139,7 @@ def get_spark(
     app_name: str = "database-join-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    profile: str | None = None,
 ) -> SparkSession:
     """Build (or get) a local session sized like the test environment.
 
@@ -109,20 +147,36 @@ def get_spark(
     partition count matches slot count so the tiny fixtures don't pay
     for 200 empty partitions, while at real scale the same code runs
     with cluster-appropriate settings (AQE coalesces either way).
+
+    ``profile="wide-exchange"`` additionally applies
+    :data:`WIDE_EXCHANGE_CONFS` and an appropriately large driver
+    heap — for workloads whose exchange carries ~input-sized state
+    (see that constant's docstring for the measurements). Build-time
+    only: if a session already exists these confs cannot take effect,
+    so callers wanting the profile must hold no live session.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    default_mem = "48g" if profile == "wide-exchange" else "8g"
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
+    if profile == "wide-exchange":
+        for key, value in WIDE_EXCHANGE_CONFS.items():
+            builder = builder.config(key, value)
+    elif profile is not None:
+        raise ValueError(f"unknown session profile: {profile!r}")
     return configure_session(builder.getOrCreate())

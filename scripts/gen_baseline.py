@@ -26,6 +26,20 @@ TS_BEGIN = "<!-- THREAD_SCALING:BEGIN (generated — do not edit by hand) -->"
 TS_END = "<!-- THREAD_SCALING:END -->"
 SK_BEGIN = "<!-- SKEW_SCALING:BEGIN (generated — do not edit by hand) -->"
 SK_END = "<!-- SKEW_SCALING:END -->"
+SP_BEGIN = "<!-- SPILL_PROBE:BEGIN (generated — do not edit by hand) -->"
+SP_END = "<!-- SPILL_PROBE:END -->"
+
+#: Human-readable one-liners for spill_probe.py's config matrix.
+SPILL_LABELS = {
+    "baseline": "defaults (lz4, 32k buffers)",
+    "buffer": "1m shuffle file/spill buffers",
+    "zstd": "zstd shuffle compression",
+    "shm": "spark.local.dir on tmpfs (/dev/shm)",
+    "maps4x": "4× map tasks (smaller per-task spills)",
+    "combo": "1m buffers + zstd + 4× maps",
+    "mem8g": "defaults, 8g heap (r03 SKEW_PROBE's sizing)",
+    "combo8g": "combo confs, 8g heap",
+}
 
 #: Reference @16T seconds for 1e9 outer tuples.
 REF = {"q4112_part1": 0.51, "q4112_part2": 1.26}
@@ -54,7 +68,9 @@ def render(bench_path: Path) -> str:
     bench = json.loads(bench_path.read_text())
     # The round driver wraps bench.py's JSON line under "parsed"
     # (BENCH_r{N}.json); a direct bench.py capture is the line itself.
-    payload = bench.get("parsed", bench)
+    # `or bench`: a truncated artifact records parsed: null
+    # (BENCH_r03.json) — fall back to the top level rather than crash.
+    payload = bench.get("parsed") or bench
     wl = payload.get("reference_workload", {})
     rows_total = payload.get("throughput_rows", 1_000_000_000)
 
@@ -177,6 +193,33 @@ def render_skew_scaling() -> str:
     return "\n".join(lines)
 
 
+def render_spill_probe() -> str:
+    """First-run spill-cliff config matrix (VERDICT r03 #3) from
+    SPILL_PROBE.json: Part 2 at groups=1e8 uniform, fresh JVM +
+    page-cache drop per config, every run reported."""
+    path = REPO / "SPILL_PROBE.json"
+    data = json.loads(path.read_text())
+    lines = [
+        f"Artifact: `SPILL_PROBE.json` (scripts/spill_probe.py, "
+        f"rows={data['rows']:.0e}, groups=1e8 uniform, Part 2, "
+        f"{data['reps']} timed runs per config, fresh JVM + best-effort "
+        f"page-cache drop before each config).",
+        "",
+        "| config | what it changes | heap | runs (s) | first | best "
+        "| first/best |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, p in data["points"].items():
+        runs = " / ".join(f"{r:.1f}" for r in p["runs"])
+        lines.append(
+            f"| {name} | {SPILL_LABELS.get(name, '')} "
+            f"| {p.get('driver_mem', '48g')} | {runs} "
+            f"| {p['first']:.1f} | {p['min']:.1f} "
+            f"| **{p['first_over_min']:.2f}×** |"
+        )
+    return "\n".join(lines)
+
+
 def _splice(text: str, begin: str, end: str, body: str) -> str:
     pre, rest = text.split(begin, 1)
     _, post = rest.split(end, 1)
@@ -196,6 +239,8 @@ def main() -> None:
         text = _splice(text, TS_BEGIN, TS_END, render_scaling())
     if SK_BEGIN in text and (REPO / "THREAD_SCALING_SKEW.json").exists():
         text = _splice(text, SK_BEGIN, SK_END, render_skew_scaling())
+    if SP_BEGIN in text and (REPO / "SPILL_PROBE.json").exists():
+        text = _splice(text, SP_BEGIN, SP_END, render_spill_probe())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 

@@ -46,6 +46,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--untuned",
+        action="store_true",
+        help="default session (8g heap, lz4, 1 task/thread) — the r03 "
+        "protocol; default is the wide-exchange profile + 4x map "
+        "tasks, the SPILL_PROBE-winning config for this regime",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -57,12 +64,20 @@ def main() -> None:
     )
     from database_join_spark.session import get_spark
 
-    spark = get_spark(app_name="skew-probe")
+    profile = None if args.untuned else "wide-exchange"
+    spark = get_spark(app_name="skew-probe", profile=profile)
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
+    parts = cores if args.untuned else 4 * cores
     spark.range(0, args.rows // 5).agg(F.sum("id")).collect()  # JIT warm
 
-    out = {"rows": args.rows, "reps": args.reps, "points": {}}
+    out = {
+        "rows": args.rows,
+        "reps": args.reps,
+        "profile": profile or "default",
+        "map_tasks": "4x" if profile else "1x",
+        "points": {},
+    }
     for label, groups, hh, p, ref in CONFIGS:
         cfg = Q4112Config(
             inner_tuples=100,
@@ -76,7 +91,7 @@ def main() -> None:
         )
         runs = []
         for _ in range(args.reps + 1):  # first = codegen warm-up
-            items, orders = q4112_frames(spark, cfg, cores)
+            items, orders = q4112_frames(spark, cfg, parts)
             t0 = time.perf_counter()
             part2_query(items, orders).collect()
             runs.append(time.perf_counter() - t0)

@@ -60,8 +60,22 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.shuffle.unsafe.file.output.buffer": "1m",
         "spark.io.compression.codec": "zstd",
     },
+    # Heap-sizing arm: the r03 SKEW_PROBE ran this workload under
+    # get_spark's 8g default and bottomed at 84.4 s, while the 48g
+    # matrix baseline bottoms far higher — hypothesis: a small heap
+    # forces the partial agg to spill EARLY and stream through disk,
+    # while a big heap lets ~1e8-group state balloon in-heap and pays
+    # GC instead. These two arms decide heap-vs-host for that delta.
+    "mem8g": {},
+    "combo8g": {
+        "spark.shuffle.file.buffer": "1m",
+        "spark.shuffle.spill.diskWriteBufferSize": "1m",
+        "spark.shuffle.unsafe.file.output.buffer": "1m",
+        "spark.io.compression.codec": "zstd",
+    },
 }
-_PARTS_MULT = {"maps4x": 4, "combo": 4}
+_PARTS_MULT = {"maps4x": 4, "combo": 4, "combo8g": 4}
+_DRIVER_MEM = {"mem8g": "8g", "combo8g": "8g"}
 
 _POINT_PROG = r"""
 import json, sys, time
@@ -74,7 +88,7 @@ rows, reps, parts_mult, extra = {rows}, {reps}, {parts_mult}, {extra}
 b = (SparkSession.builder.appName("spill-probe")
      .master("local[32]")
      .config("spark.sql.shuffle.partitions", "32")
-     .config("spark.driver.memory", "48g")
+     .config("spark.driver.memory", {mem!r})
      .config("spark.ui.enabled", "false"))
 for k, v in RUNTIME_CONFS.items():
     b = b.config(k, v)
@@ -125,6 +139,7 @@ def run_config(name: str, rows: int, reps: int) -> dict:
         reps=reps,
         parts_mult=_PARTS_MULT.get(name, 1),
         extra=repr(extra),
+        mem=_DRIVER_MEM.get(name, "48g"),
     )
     cold = _drop_caches()
     proc = subprocess.run(
@@ -144,6 +159,7 @@ def run_config(name: str, rows: int, reps: int) -> dict:
                 "cold_start": cold,
                 "confs": extra,
                 "parts_mult": _PARTS_MULT.get(name, 1),
+                "driver_mem": _DRIVER_MEM.get(name, "48g"),
             }
     raise RuntimeError(f"{name} failed:\n{proc.stdout}\n{proc.stderr}")
 
@@ -156,7 +172,15 @@ def main() -> None:
     ap.add_argument("--json", default="SPILL_PROBE.json")
     args = ap.parse_args()
 
-    out = {"rows": args.rows, "reps": args.reps, "points": {}}
+    # Merge into an existing artifact so config arms can be run
+    # incrementally (e.g. the mem8g/combo8g heap arms after the main
+    # matrix) without re-paying the ~1h full sweep.
+    out_path = Path(_REPO, args.json)
+    if out_path.exists():
+        out = json.loads(out_path.read_text())
+        out["rows"], out["reps"] = args.rows, args.reps
+    else:
+        out = {"rows": args.rows, "reps": args.reps, "points": {}}
     for name in args.configs.split(","):
         point = run_config(name, args.rows, args.reps)
         out["points"][name] = point
@@ -165,7 +189,7 @@ def main() -> None:
             f"  ({point['first_over_min']}× cliff)  runs {point['runs']}",
             file=sys.stderr,
         )
-    Path(_REPO, args.json).write_text(json.dumps(out, indent=1))
+    out_path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 

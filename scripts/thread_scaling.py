@@ -41,16 +41,22 @@ from pyspark.sql import SparkSession, functions as F
 from database_join_spark.datagen import (
     Q4112Config, part1_query, part2_query, q4112_frames,
 )
-from database_join_spark.session import RUNTIME_CONFS
+from database_join_spark.session import RUNTIME_CONFS, WIDE_EXCHANGE_CONFS
 
 threads, rows, reps, skew = {threads}, {rows}, {reps}, {skew}
 b = (SparkSession.builder.appName(f"thread-scaling-{{threads}}")
      .master(f"local[{{threads}}]")
      .config("spark.sql.shuffle.partitions", str(threads))
-     .config("spark.driver.memory", "8g")
+     # The skew config is the wide-exchange regime: big heap + the
+     # SPILL_PROBE-winning shuffle confs (skew_probe.py protocol);
+     # the groups=100 sweep needs only defaults.
+     .config("spark.driver.memory", "48g" if skew else "8g")
      .config("spark.ui.enabled", "false"))
 for k, v in RUNTIME_CONFS.items():
     b = b.config(k, v)
+if skew:
+    for k, v in WIDE_EXCHANGE_CONFS.items():
+        b = b.config(k, v)
 spark = b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -59,7 +65,7 @@ if skew:
                       groups=100_000_000, outer_selectivity=1.0,
                       price_max=50, qty_max=20,
                       hh_groups=100, hh_prob=0.5)
-    plan = [("part2", part2_query, threads)]
+    plan = [("part2", part2_query, 4 * threads)]
 else:
     cfg = Q4112Config(inner_tuples=100, outer_tuples=rows, groups=100,
                       outer_selectivity=1.0, price_max=50, qty_max=20)
