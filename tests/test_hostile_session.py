@@ -67,3 +67,26 @@ def test_events_stream_repairs_or_rejects_non_utc_session(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_wide_exchange_profile_contract():
+    """The wide-exchange profile is a named opt-in: unknown names
+    fail loudly (a typo must not silently run untuned), and the conf
+    set carries exactly the SPILL_PROBE-winning build-time keys."""
+    import pytest
+
+    from database_join_spark.session import WIDE_EXCHANGE_CONFS, get_spark
+
+    with pytest.raises(ValueError, match="unknown session profile"):
+        get_spark(profile="wide_exchange")  # underscore typo
+    assert set(WIDE_EXCHANGE_CONFS) == {
+        "spark.io.compression.codec",
+        "spark.shuffle.file.buffer",
+        "spark.shuffle.spill.diskWriteBufferSize",
+        "spark.shuffle.unsafe.file.output.buffer",
+    }
+    # Build-time-only keys: none of these are SQL runtime confs, so
+    # applying them via spark.conf.set would silently no-op — the
+    # profile must stay on the BUILDER path (get_spark), which is
+    # what this pin documents.
+    assert all(not k.startswith("spark.sql.") for k in WIDE_EXCHANGE_CONFS)
