@@ -163,6 +163,71 @@ def minhash_signature(hash_col: str, num_hashes: int = 32) -> Column:
     return F.array(*mins)
 
 
+def banded_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    num_hashes: int = 32,
+    bands: int = 8,
+    prehashed: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) LSH bucket memberships for each document —
+    the shared front half of every MinHash-LSH operator. Within-corpus
+    dedup groups this by (band, bucket) (:func:`lsh_candidate_pairs`);
+    cross-corpus decontamination JOINS two of these tables on
+    (band, bucket) instead, broadcasting the benchmark side.
+
+    Signatures are computed by explode + codegen'd groupBy-min rather
+    than per-row array lambdas: higher-order functions are evaluated
+    interpreted (outside whole-stage codegen), and the 32-seed re-hash
+    is the operator's CPU hot spot — the exploded spelling measured
+    1.8× faster net of scan at sf0.1. The added exchange is one row
+    per document (33 longs), the same order as the banding shuffle
+    that follows; map-side partial aggregation collapses the exploded
+    shingle rows before anything moves. A side benefit: documents
+    with NO shingles simply vanish at the explode instead of sharing
+    a NULL signature — under the lambda spelling every empty document
+    co-bucketed into one giant (band, NULL-hash) bucket, a quadratic
+    hazard at corpus scale.
+    """
+    rows_per_band = num_hashes // bands
+    hs = (
+        F.col(shingle_col) if prehashed else shingle_hashes(shingle_col)
+    )
+    sig = (
+        df.select(F.col(id_col).alias("__id"), hs.alias("__hs"))
+        .select("__id", F.explode("__hs").alias("__h"))
+        .groupBy("__id")
+        .agg(
+            *[
+                F.min(F.xxhash64("__h", F.lit(s))).alias(f"__m{s}")
+                for s in range(num_hashes)
+            ]
+        )
+    )
+    return sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"__m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        F.col("__id").alias(id_col), F.col("bb.band"), F.col("bb.bucket")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -193,54 +258,20 @@ def lsh_candidate_pairs(
     shingle hashes (:func:`shingle_hashes`) — the caller pays string
     hashing once and can share the hashed table with verification.
 
-    Signatures are computed by explode + codegen'd groupBy-min rather
-    than per-row array lambdas: higher-order functions are evaluated
-    interpreted (outside whole-stage codegen), and the 32-seed re-hash
-    is the operator's CPU hot spot — the exploded spelling measured
-    1.8× faster net of scan at sf0.1. The added exchange is one row
-    per document (33 longs), the same order as the banding shuffle
-    that follows; map-side partial aggregation collapses the exploded
-    shingle rows before anything moves. A side benefit: documents
-    with NO shingles simply vanish at the explode instead of sharing
-    a NULL signature — under the lambda spelling every empty document
-    co-bucketed into one giant (band, NULL-hash) bucket, a quadratic
-    hazard at corpus scale (their pairs were only discarded later by
+    Signature + banding construction is :func:`banded_buckets` (see
+    its docstring for the codegen'd explode + groupBy-min spelling
+    and the empty-document NULL-bucket hazard it removes — under the
+    lambda spelling, empty docs' pairs were only discarded later by
     the NULL-Jaccard filter).
     """
-    rows_per_band = num_hashes // bands
-    hs = (
-        F.col(shingle_col) if prehashed else shingle_hashes(shingle_col)
-    )
-    sig = (
-        df.select(F.col(id_col).alias("__id"), hs.alias("__hs"))
-        .select("__id", F.explode("__hs").alias("__h"))
-        .groupBy("__id")
-        .agg(
-            *[
-                F.min(F.xxhash64("__h", F.lit(s))).alias(f"__m{s}")
-                for s in range(num_hashes)
-            ]
-        )
-    )
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"__m{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
+    banded = banded_buckets(
+        df,
+        id_col=id_col,
+        shingle_col=shingle_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        prehashed=prehashed,
+    ).withColumnRenamed(id_col, "__id")
     return (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("__id")).alias("ids"))

@@ -1319,6 +1319,91 @@ def _bloom_survivor_counts(spark: SparkSession, sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# 38c. decontam_minhash — cross-corpus NEAR-dup decontamination
+# --------------------------------------------------------------------------
+@query(
+    "decontam_minhash",
+    tags=("pipeline", "dedup", "no-oracle"),
+    gated=False,  # new r04; r05 rotation candidate (STATUS.md tracks)
+)
+def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate decontamination: flag corpus documents that are
+    near-copies (exact Jaccard ≥ {thr}) of any held-out benchmark doc
+    (doc_id % {mod} == 0 split, as in decontam_ngram). This is the
+    third decontamination tier every LLM pipeline runs: exact n-gram
+    overlap (decontam_ngram) misses paraphrased/lightly-edited leaks;
+    MinHash-LSH catches whole-document near-copies.
+
+    Spelling: one shingle→int64-hash pass over ALL documents
+    (materialized once, shared by banding and verification — same
+    discipline as dedup_minhash), then BOTH splits run through
+    operators.dedup.banded_buckets (32 hashes × 16 bands, S-curve
+    threshold ≈0.25 for high recall at J={thr}); candidates come from
+    a (band, bucket) equi-join with the benchmark side BROADCAST, and
+    exact Jaccard re-verification keeps precision 1.0. Output is one
+    row per contaminated corpus doc: (doc_id, n_eval_matches,
+    max_jac).
+
+    100 TB shape: the corpus side shuffles only (band, bucket,
+    doc_id) triples against a broadcast benchmark bucket table —
+    benchmark suites are MB-to-GB scale against a corpus that is not,
+    exactly decontam_ngram's asymmetry — and verification payloads
+    move only for docs that bucket-collide (semi-join prune, bounded
+    by contamination mass). No all-pairs comparison anywhere. No
+    DuckDB oracle (xxhash64 banding is Spark-specific); recall vs the
+    exact cross-split Jaccard baseline and precision-by-construction
+    are pinned in tests/test_pipeline.py.
+    """
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id", D.shingles_from_tokens("toks", SHINGLE_N).alias("sh")
+        )
+        .select("doc_id", D.shingle_hashes("sh").alias("hs"))
+        .transform(_track_persist)
+    )
+    ev = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    kw = dict(
+        id_col="doc_id", shingle_col="hs",
+        num_hashes=32, bands=16, prehashed=True,
+    )
+    ev_b = D.banded_buckets(ev, **kw).withColumnRenamed(
+        "doc_id", "eval_doc_id"
+    )
+    cand = (
+        D.banded_buckets(corpus, **kw)
+        .join(F.broadcast(ev_b), ["band", "bucket"])
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+        .transform(_track_persist)  # read twice: semi-prune + verify
+    )
+    corp_hs = corpus.join(
+        F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"
+    )
+    ev_hs = ev.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("hs").alias("hs_e")
+    )
+    return (
+        corp_hs.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(ev_hs), "eval_doc_id")
+        .select("doc_id", "eval_doc_id", D.jaccard("hs", "hs_e").alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jac").alias("max_jac"),
+        )
+    )
+
+
+decontam_minhash.__doc__ = decontam_minhash.__doc__.format(
+    thr=JACCARD_THRESHOLD, mod=_DECON_MOD
+)
+
+
+# --------------------------------------------------------------------------
 # 39. pii_scrub — regex PII detection + redaction accounting
 # --------------------------------------------------------------------------
 #: Patterns restricted to syntax Java regex and RE2 interpret

@@ -212,3 +212,58 @@ def test_undecodable_formats_raise():
         resize_image(b"\xff\xd8\xff", 224, 224)  # resize is PNG-only
     # PNG path is REAL now — decode_image dispatches on magic bytes
     assert decode_image(encode_png(6, 4, 1))["width"] == 6
+
+
+def test_decontam_minhash_recall_and_precision(spark):
+    """Cross-corpus near-dup decontamination must recover the exact
+    cross-split Jaccard ground truth: the LSH bucket join only
+    PRUNES, and verification restores precision 1.0; b=16/r=2 puts
+    the candidate S-curve threshold at ~0.25, so J≥0.6 leaks are
+    caught w.h.p. (the sf0.001 fixture plants two)."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.operators import dedup as D
+    from database_join_spark.operators import text as T
+    from database_join_spark.queries.pipeline import (
+        _DECON_MOD,
+        JACCARD_THRESHOLD,
+        SHINGLE_N,
+        _docs,
+    )
+
+    sh = (
+        _docs(spark, SF_DIR)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id", D.shingles_from_tokens("toks", SHINGLE_N).alias("sh")
+        )
+    )
+    ev = sh.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("sh").alias("sh_e")
+    )
+    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+    truth = {
+        (r["doc_id"], r["eval_doc_id"])
+        for r in (
+            corpus.crossJoin(F.broadcast(ev))  # O(n*m) baseline: test-only
+            .select(
+                "doc_id", "eval_doc_id", D.jaccard("sh", "sh_e").alias("jac")
+            )
+            .filter(F.col("jac") >= JACCARD_THRESHOLD)
+            .collect()
+        )
+    }
+    assert truth, "fixture should plant cross-split near-dup leaks"
+    truth_docs = {d for d, _ in truth}
+
+    got = {
+        r["doc_id"]: r["n_eval_matches"]
+        for r in REGISTRY["decontam_minhash"].fn(spark, SF_DIR).collect()
+    }
+    # precision 1.0: every flagged doc is a true leak, and the exact
+    # re-verify can never report MORE matches than the ground truth
+    assert set(got) <= truth_docs, "verified flags must be real leaks"
+    for doc, n in got.items():
+        assert n <= sum(d == doc for d, _ in truth), doc
+    recall = len(set(got) & truth_docs) / len(truth_docs)
+    assert recall >= 0.9, f"decontam_minhash recall {recall} below floor"
