@@ -41,16 +41,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver gates at most 50 ids per round (CORRECTNESS_r01 cut the
     then-60-entry registry at exactly 50 rows); the registry therefore
     marks exactly 50 queries ``gated``, rotated each round (VERDICT
-    r02 #6, r03 #4) so every oracled id earns a driver CORRECTNESS
-    row across rounds. Round-4 rotation: the 33 SURVEY §2 ids are
-    retained permanently; the 17 free slots carry the 15 ids with no
-    r01–r03 row — anomaly_zscore, bpe_pair_counts, decontam_bloom,
-    dedup_substring (new r04), distinct_hll_sketch, event_funnel,
-    heavy_hitters_approx, join_range_binned, ngram_counts (new r04),
-    retention_cohorts, sample_hash_split (new r04), seq_len_hist,
-    sessionize_events, stream_interval_join, text_vocab — plus two
-    refreshes whose only row is r01 (join_asof, agg_quantile_exact).
-    Everything rotated out holds a green r02/r03 row and stays
+    r02 #6, r03 #4, r04 #1) so every oracled id earns a driver
+    CORRECTNESS row across rounds. Round-5 rotation: the 33 SURVEY §2
+    ids are retained permanently; the 17 free slots carry
+    decontam_minhash (the one id with no driver row at all) plus the
+    ids whose only row is r01 — agg_salted, pivot_wide,
+    higher_order_funcs, udtf_surface, source_synthdocs,
+    window_distribution, dedup_embed_cosine, dedup_ngram_jaccard,
+    dedup_exact_survivors, text_langid, text_quality — and the
+    no-oracle ids needing a clean rows-only row: dedup_simhash,
+    simsearch_lsh, simsearch_ivf, text_winnow, agg_quantile_approx
+    (supersedes its r01 error; see STATUS.md validation column).
+    Everything rotated out holds a green r04 row and stays
     hash-compared by the identical check in pytest
     (tests/test_oracle_parity.py runs gated and ungated alike).
     """

@@ -69,7 +69,7 @@ _ASOF_ARGS = dict(
     # rotated out of the 50-slot driver gate (green r01 row; the
     # bucketed scale variant below holds the gated slot, and pytest
     # hash-parity still runs the identical check here)
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
     oracle=_ASOF_ORACLE,
     tags=("extras", "join"),
 )
@@ -135,7 +135,7 @@ def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     tags=("extras",),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event counts into one column per event type, plus a
@@ -185,7 +185,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("extras", "skew"),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r01 row; pytest hash-compares)
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted SUM grouped by a 3-value (maximally skewed)
@@ -218,7 +218,7 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(0, 2000) GROUP BY 1
     """,
     tags=("extras", "source"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read through the custom Python DataSource (sources/synthdocs)
@@ -247,7 +247,7 @@ def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "agg_quantile_exact",
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS q25,
@@ -278,7 +278,7 @@ def agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("agg_quantile_approx", tags=("extras", "agg", "no-oracle"),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald–Khanna sketch) per group —
@@ -337,7 +337,7 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc GROUP BY lang
     """,
     tags=("extras", "functions"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: filter / exists / aggregate over
@@ -390,7 +390,7 @@ def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY s_acctbal DESC, s_suppkey)
     """,
     tags=("extras", "window"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile / rank / percent_rank /
@@ -434,7 +434,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 5
     """,
     tags=("extras", "udf"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: explode each document into (token, count) rows for
@@ -505,7 +505,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("extras", "window", "sessionization"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: assign each user's events to sessions
@@ -588,7 +588,7 @@ def sessionize_frame(ev: DataFrame) -> DataFrame:
       (SELECT COUNT(*) FROM s3 WHERE t3 IS NOT NULL) AS n_then_purchase
     """,
     tags=("extras", "agg", "funnel"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase: users
@@ -664,7 +664,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM firsts GROUP BY cohort_day, day_offset
     """,
     tags=("extras", "agg", "retention"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by their first-activity day
@@ -724,7 +724,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM outliers GROUP BY event_type
     """,
     tags=("extras", "agg", "quality"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outlier detection (|value − μ| > 3σ) with
@@ -816,7 +816,7 @@ _HH_TRACKED = 100_000
     LIMIT {_HH_K}
     """.format(T_DUCK=TOKENS_DUCK.format(c="text")),
     tags=("extras", "agg", "sketch"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch over the corpus token stream via
@@ -872,7 +872,7 @@ def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "distinct_hll_sketch",
     tags=("extras", "agg", "sketch", "no-oracle"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def distinct_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-event-type HLL sketches

@@ -100,7 +100,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang, source
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r01 row; pytest hash-compares)
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving-row counts per (lang, source) after exact dedup.
@@ -142,7 +142,7 @@ _SH_DUCK = D.shingles_duck("text", SHINGLE_N)
           >= {JACCARD_THRESHOLD}
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # driver gates 50 ids; pytest hash-compares this one
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force n-gram Jaccard near-dup pairs (exact baseline).
@@ -299,7 +299,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     tags=("pipeline", "dedup", "no-oracle"),
-    gated=False,  # rows-only under the driver; recall floor pinned in pytest
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, chunk-bucketed
@@ -437,7 +437,7 @@ def simsearch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simsearch_lsh",
     tags=("pipeline", "similarity", "no-oracle"),
-    gated=False,  # rows-only under the driver; recall@5 floor pinned in pytest
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN cosine top-k via multi-table random-hyperplane LSH.
@@ -461,7 +461,7 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simsearch_ivf",
     tags=("pipeline", "similarity", "no-oracle"),
-    gated=False,  # rows-only under the driver; recall@5 floor pinned in pytest
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN cosine top-k via IVF: seeded KMeans cells, n_probe=4 of 16.
@@ -487,7 +487,7 @@ _COS_DUP_THRESHOLD = 0.4
 
 @query(
     "dedup_embed_cosine",
-    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
     oracle=f"""
     WITH v AS (
       SELECT vec_id, label, embedding,
@@ -593,7 +593,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_langid",
-    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
     oracle=f"""
     SELECT lang, {T.predicted_lang_duck("text")} AS predicted,
            COUNT(*) AS n
@@ -622,7 +622,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_quality",
-    gated=False,  # rotated out of the 50-slot driver gate (green r01 row / pytest hash-parity)
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
     oracle=f"""
     WITH per_doc AS (
       SELECT source,
@@ -680,7 +680,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_winnow",
     tags=("pipeline", "text", "dedup", "no-oracle"),
-    gated=False,  # driver gates 50 ids; recall pinned under pytest
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnowed rolling-hash fingerprint overlap.
@@ -1046,7 +1046,7 @@ _VOCAB_K = 50
     LIMIT {_VOCAB_K}
     """,
     tags=("pipeline", "text"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-{k} tokens by frequency — the counting
@@ -1092,7 +1092,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT {_VOCAB_K}
     """,
     tags=("pipeline", "text"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair frequency count — the inner loop of BPE
@@ -1223,7 +1223,7 @@ def _bloom_pos(col: str):
     GROUP BY doc_id
     """,
     tags=("pipeline", "dedup"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with a Bloom-filter pre-pass: same contract as
@@ -1324,7 +1324,7 @@ def _bloom_survivor_counts(spark: SparkSession, sf_dir: str):
 @query(
     "decontam_minhash",
     tags=("pipeline", "dedup", "no-oracle"),
-    gated=False,  # new r04; r05 rotation candidate (STATUS.md tracks)
+    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate decontamination: flag corpus documents that are
@@ -1932,7 +1932,7 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks GROUP BY bucket_bits
     """,
     tags=("pipeline", "text"),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document token-length histogram in power-of-two buckets — the
@@ -2075,6 +2075,7 @@ _SUBSTR_K = 8  # token span width (public ExactSubstr uses ~50; 8 fits fixtures)
     FROM isl GROUP BY doc_id, island
     """,
     tags=("pipeline", "dedup"),
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document EXACT substring dedup, the publicly documented
@@ -2170,6 +2171,7 @@ _SPLIT_MIX = 2654435761  # Knuth multiplicative constant (public)
     FROM b GROUP BY 1
     """,
     tags=("pipeline", "sampling"),
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by key mixing —
@@ -2237,6 +2239,7 @@ _NGRAM_MIN_FREQ = 5  # tail cutoff; keeps output vocabulary-, not corpus-sized
     FROM g GROUP BY n, ngram HAVING COUNT(*) >= {_NGRAM_MIN_FREQ}
     """,
     tags=("pipeline", "text"),
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram frequency table (bigrams + trigrams, multiset

@@ -359,7 +359,7 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
     tags=("streaming",),
-    gated=True,  # gated r04 (first driver row / refresh)
+    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase→click attribution: each purchase joined to the same
