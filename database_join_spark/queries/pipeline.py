@@ -1348,8 +1348,9 @@ def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) triples against a broadcast benchmark bucket table —
     benchmark suites are MB-to-GB scale against a corpus that is not,
     exactly decontam_ngram's asymmetry — and verification payloads
-    move only for docs that bucket-collide (semi-join prune, bounded
-    by contamination mass). No all-pairs comparison anywhere. No
+    move only for docs that bucket-collide (the inner broadcast join
+    against the candidate doc_ids IS the prune, bounded by
+    contamination mass). No all-pairs comparison anywhere. No
     DuckDB oracle (xxhash64 banding is Spark-specific); recall vs the
     exact cross-split Jaccard baseline and precision-by-construction
     are pinned in tests/test_pipeline.py.
@@ -1377,16 +1378,17 @@ def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ev_b), ["band", "bucket"])
         .select("doc_id", "eval_doc_id")
         .distinct()
-        .transform(_track_persist)  # read twice: semi-prune + verify
-    )
-    corp_hs = corpus.join(
-        F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"
+        .transform(_track_persist)  # read twice: prune join + verify
     )
     ev_hs = ev.select(
         F.col("doc_id").alias("eval_doc_id"), F.col("hs").alias("hs_e")
     )
+    # The inner broadcast join on doc_id is itself the payload prune:
+    # only bucket-colliding corpus docs ship their signature into the
+    # verify stage (a separate left_semi pre-pass would re-broadcast
+    # the same ids for no extra filtering — ADVICE r04).
     return (
-        corp_hs.join(F.broadcast(cand), "doc_id")
+        corpus.join(F.broadcast(cand), "doc_id")
         .join(F.broadcast(ev_hs), "eval_doc_id")
         .select("doc_id", "eval_doc_id", D.jaccard("hs", "hs_e").alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)

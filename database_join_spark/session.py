@@ -153,13 +153,37 @@ def get_spark(
     heap — for workloads whose exchange carries ~input-sized state
     (see that constant's docstring for the measurements). Build-time
     only: if a session already exists these confs cannot take effect,
-    so callers wanting the profile must hold no live session.
+    so callers wanting the profile must hold no live session —
+    enforced below: a pre-existing session whose confs don't already
+    match the profile raises rather than silently mislabeling results
+    as tuned (ADVICE r04).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     default_mem = "48g" if profile == "wide-exchange" else "8g"
+
+    if profile == "wide-exchange":
+        live = SparkSession.getActiveSession()
+        if live is not None:
+            # getOrCreate would return this session unchanged; the
+            # shuffle-path confs (and the 48g heap) only apply at
+            # build time, so a caller asking for the profile against
+            # a live session would record mislabeled results. Allow
+            # it only if the live session already carries the confs.
+            mismatched = {
+                key: live.conf.get(key, None)
+                for key, value in WIDE_EXCHANGE_CONFS.items()
+                if live.conf.get(key, None) != value
+            }
+            if mismatched:
+                raise RuntimeError(
+                    "get_spark(profile='wide-exchange') needs to build "
+                    "the session, but one is already active without the "
+                    f"profile confs (mismatched: {mismatched}); stop it "
+                    "first or run the workload in a fresh process"
+                )
 
     builder = (
         SparkSession.builder.appName(app_name)

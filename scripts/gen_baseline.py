@@ -68,9 +68,17 @@ def render(bench_path: Path) -> str:
     bench = json.loads(bench_path.read_text())
     # The round driver wraps bench.py's JSON line under "parsed"
     # (BENCH_r{N}.json); a direct bench.py capture is the line itself.
-    # `or bench`: a truncated artifact records parsed: null
-    # (BENCH_r03.json) — fall back to the top level rather than crash.
-    payload = bench.get("parsed") or bench
+    # A truncated artifact records parsed: null (BENCH_r03.json) —
+    # fall back to the top level for that case only (parsed: {} is a
+    # malformed artifact, not a fallback trigger — ADVICE r04), and
+    # fail loudly if the chosen payload lacks the workload table
+    # rather than rendering a table of defaults.
+    payload = bench["parsed"] if bench.get("parsed") is not None else bench
+    if "reference_workload" not in payload:
+        raise SystemExit(
+            f"{bench_path.name}: payload has no 'reference_workload' "
+            f"(keys: {sorted(payload)[:8]}); artifact is malformed"
+        )
     wl = payload.get("reference_workload", {})
     rows_total = payload.get("throughput_rows", 1_000_000_000)
 
@@ -125,7 +133,37 @@ def render(bench_path: Path) -> str:
         f"2× BENCH gate: **{'pass' if gate else 'FAIL'}** "
         f"(both parts must be within 2× of the reference @16T).",
     ]
+    lines += _render_secondary(bench_path)
     return "\n".join(lines)
+
+
+def _render_secondary(primary_path: Path) -> list[str]:
+    """Quiet-host sidecar line (VERDICT r04 Wrong #1): the builder's
+    direct ``BENCH_FULL.json`` capture is real but was taken on a
+    hand-picked quiet host state, so it renders SECOND, labeled, and
+    never replaces the driver artifact in the headline table."""
+    full = REPO / "BENCH_FULL.json"
+    if not full.exists() or full.name == primary_path.name:
+        return []
+    try:
+        wl = json.loads(full.read_text())["reference_workload"]
+    except (KeyError, json.JSONDecodeError):
+        return []
+    parts = []
+    for key, label in [("q4112_part1", "Part 1"), ("q4112_part2", "Part 2")]:
+        sec = wl.get(f"{key}_sec")
+        if sec is not None:
+            parts.append(f"{label} {sec:.2f} s ({sec / REF[key]:.2f}×)")
+    if not parts:
+        return []
+    return [
+        "",
+        f"Secondary, not the artifact of record: the builder's direct "
+        f"`BENCH_FULL.json` capture on a quiet host state measured "
+        f"{', '.join(parts)} on identical code — kept as the "
+        f"best-observed bound; host-state variance is documented in "
+        f"§Part-2 regression.",
+    ]
 
 
 def render_scaling() -> str:
@@ -227,6 +265,10 @@ def _splice(text: str, begin: str, end: str, body: str) -> str:
 
 
 def main() -> None:
+    # The primary is ALWAYS the newest driver artifact (BENCH_r{N});
+    # an argv[1] override exists for debugging a specific artifact but
+    # the rendered block will say whose numbers it holds either way
+    # (VERDICT r04 Wrong #1: never headline a hand-picked capture).
     bench_path = (
         Path(sys.argv[1]) if len(sys.argv) > 1 else newest_bench()
     )

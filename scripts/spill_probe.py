@@ -178,11 +178,21 @@ def main() -> None:
     out_path = Path(_REPO, args.json)
     if out_path.exists():
         out = json.loads(out_path.read_text())
-        out["rows"], out["reps"] = args.rows, args.reps
+        # Refuse to mix arms measured at different workload sizes into
+        # one artifact: the merged file has a single rows/reps header
+        # that BASELINE.md renders, so a mismatched incremental run
+        # would silently misattribute old points (ADVICE r04).
+        if (out.get("rows"), out.get("reps")) != (args.rows, args.reps):
+            raise SystemExit(
+                f"{out_path.name} holds points measured at rows="
+                f"{out.get('rows')} reps={out.get('reps')}; rerun with "
+                "matching --rows/--reps or use a different --json path"
+            )
     else:
         out = {"rows": args.rows, "reps": args.reps, "points": {}}
     for name in args.configs.split(","):
         point = run_config(name, args.rows, args.reps)
+        point["rows"], point["reps"] = args.rows, args.reps
         out["points"][name] = point
         print(
             f"# {name}: first {point['first']:.1f} s  min {point['min']:.1f} s"

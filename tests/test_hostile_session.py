@@ -90,3 +90,17 @@ def test_wide_exchange_profile_contract():
     # profile must stay on the BUILDER path (get_spark), which is
     # what this pin documents.
     assert all(not k.startswith("spark.sql.") for k in WIDE_EXCHANGE_CONFS)
+
+
+def test_wide_exchange_profile_refuses_live_untuned_session(spark):
+    """ADVICE r04: requesting the wide-exchange profile while an
+    untuned session is live must raise, not silently return the live
+    session with none of the profile confs applied (callers would
+    then label measurements as tuned when they are not)."""
+    import pytest
+
+    from database_join_spark.session import get_spark
+
+    assert spark.conf.get("spark.io.compression.codec", None) != "zstd"
+    with pytest.raises(RuntimeError, match="already active without"):
+        get_spark(profile="wide-exchange")
