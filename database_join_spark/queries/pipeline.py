@@ -2109,7 +2109,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     uint32 tables, q4112.h:13-41); it extends the same hash-group
     machinery as dedup_exact onto span granularity.
     """
-    docs = _docs(spark, sf_dir)
+    return substring_spans_frame(_docs(spark, sf_dir))
+
+
+def substring_spans_frame(docs: DataFrame) -> DataFrame:
+    """Merged cross-document duplicate spans over a ``(doc_id, text)``
+    frame — the core of :func:`dedup_substring`, factored out so the
+    excision step and the planted-fixture round-trip test can run the
+    identical logic on arbitrary corpora."""
     wins = (
         docs.select("doc_id", T.tokens("text").alias("toks"))
         .select(
@@ -2145,6 +2152,130 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+# --------------------------------------------------------------------------
+# 39b. dedup_substring_apply — excise the duplicate spans (ExactSubstr
+#      end-to-end: span table → cleaned corpus)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_substring_apply",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.TOKENS_DUCK.format(c="text")} AS t FROM documents
+    ),
+    posns AS (
+      SELECT doc_id, t,
+             unnest(range(0, len(t) - {_SUBSTR_K} + 1)) AS pos
+      FROM toks WHERE len(t) >= {_SUBSTR_K}
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos + 1 : pos + {_SUBSTR_K}], ' ') AS win
+      FROM posns
+    ),
+    dup AS (
+      SELECT win FROM wins GROUP BY win HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM dup)
+    ),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(LAG(pos) OVER w, -{_SUBSTR_K + 1})
+                            + {_SUBSTR_K} THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marks
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_K} - 1 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tok_rows AS (
+      SELECT doc_id, pos, t[pos + 1] AS tok
+      FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM toks)
+    ),
+    kept AS (
+      SELECT r.doc_id, r.pos, r.tok FROM tok_rows r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = r.doc_id AND r.pos BETWEEN s.s AND s.e)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    gated=False,  # new r05; r06 rotation candidate (STATUS.md tracks)
+)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr excision — the step that makes :func:`dedup_substring`
+    end-to-end (VERDICT r04 Next #4): apply the merged span table back
+    to the corpus and emit, per document, the cleaned text (tokens
+    outside every removal span, re-joined on single spaces) plus
+    before/removed token counts. Documents without spans pass through
+    verbatim; a fully-covered document yields the empty string.
+
+    Spelling: the span frame from :func:`substring_spans_frame` is
+    collapsed to one array-of-struct row per affected doc (bounded by
+    doc length / k — never corpus-sized) and LEFT-joined back; token
+    retention is a single JVM-side higher-order expression
+    (``filter(toks, (tok, i) -> NOT exists(spans, s -> s.s <= i <= s.e))``)
+    — no Python, no explode of the token stream.
+
+    100 TB: the apply side adds exactly one exchange beyond the span
+    computation — the span collapse keyed on doc_id (output-bounded:
+    only contaminated docs have rows) — and the join back is
+    broadcast-eligible whenever contamination mass is small, which is
+    the production case. The round-trip property (excised corpus
+    re-run through dedup_substring yields ZERO spans, since every
+    duplicated window loses its text in ALL copies) is pinned in
+    tests/test_pipeline.py on a planted-overlap fixture.
+    """
+    docs = _docs(spark, sf_dir)
+    return substring_excise_frame(docs)
+
+
+def substring_excise_frame(docs: DataFrame) -> DataFrame:
+    """Core excision over a ``(doc_id, text)`` frame (shared with the
+    planted-fixture round-trip test)."""
+    toks = docs.select("doc_id", T.tokens("text").alias("toks"))
+    spans = (
+        substring_spans_frame(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    joined = toks.join(spans, "doc_id", "left")
+    kept = F.filter(
+        "toks",
+        lambda tok, i: ~F.exists(
+            "spans",
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    clean = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(kept)
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(clean)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+        F.array_join(clean, " ").alias("clean_text"),
     )
 
 

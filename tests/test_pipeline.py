@@ -267,3 +267,44 @@ def test_decontam_minhash_recall_and_precision(spark):
         assert n <= sum(d == doc for d, _ in truth), doc
     recall = len(set(got) & truth_docs) / len(truth_docs)
     assert recall >= 0.9, f"decontam_minhash recall {recall} below floor"
+
+
+def test_substring_excision_round_trip(spark):
+    """ExactSubstr end-to-end (VERDICT r04 #4): spans found on a
+    planted cross-doc overlap are excised from ALL copies, untouched
+    docs pass through verbatim, and the cleaned corpus re-run through
+    the span finder yields ZERO spans (no duplicated k-window can
+    survive its own removal)."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.queries.pipeline import (
+        _SUBSTR_K,
+        substring_excise_frame,
+        substring_spans_frame,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(_SUBSTR_K + 4))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+            (2, "one two three four " + shared + " five six"),
+            (3, "unrelated filler words only seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = substring_spans_frame(docs).collect()
+    assert {r.doc_id for r in spans} == {1, 2}
+    cleaned = substring_excise_frame(docs)
+    rows = {r.doc_id: r for r in cleaned.collect()}
+    assert rows[3].n_tokens_removed == 0
+    assert rows[3].clean_text == "unrelated filler words only seven eight nine ten"
+    # the planted run is exactly the duplicated window cover in both docs
+    assert rows[1].n_tokens_removed == _SUBSTR_K + 4
+    assert rows[2].n_tokens_removed == _SUBSTR_K + 4
+    for tok in shared.split():
+        assert tok not in rows[1].clean_text.split()
+        assert tok not in rows[2].clean_text.split()
+    assert rows[1].clean_text.startswith("alpha beta")
+    assert rows[1].clean_text.endswith("gamma delta epsilon zeta")
+    re_docs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    assert substring_spans_frame(re_docs).count() == 0
