@@ -154,6 +154,50 @@ def _throughput(spark) -> dict[str, float]:
     )
     print(f"# large_inner: {sec:.2f} s {runs}", file=sys.stderr)
 
+    # Bucketed co-located spelling of the same join (VERDICT r04 #6):
+    # the row above is the WORST case (both sides shuffled every
+    # query); production amortizes one bucketed write across every
+    # subsequent join on the key, after which the probe-side plan is
+    # Exchange-free (pinned in tests/test_scale_patterns.py). Both
+    # numbers are reported: `large_inner` = cold shuffle-hash,
+    # `large_inner_bucketed` = steady-state per-query cost, with the
+    # one-time build cost recorded alongside.
+    spark.sql("DROP TABLE IF EXISTS bench_li_items")
+    spark.sql("DROP TABLE IF EXISTS bench_li_orders")
+    items, orders = q4112_frames(spark, li_cfg, 4 * cores)
+    t0 = time.perf_counter()
+    items.write.bucketBy(cores, "id").sortBy("id").mode(
+        "overwrite"
+    ).saveAsTable("bench_li_items")
+    orders.write.bucketBy(cores, "item_id").sortBy("item_id").mode(
+        "overwrite"
+    ).saveAsTable("bench_li_orders")
+    build_sec = time.perf_counter() - t0
+    runs = []
+    for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
+        bi = spark.table("bench_li_items")
+        bo = spark.table("bench_li_orders")
+        t0 = time.perf_counter()
+        bo.join(bi.hint("merge"), bi.id == bo.item_id).agg(
+            F.expr("sum(price * quantity) DIV count(*)").alias("avg_val")
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    timed = runs[1:]
+    sec = min(timed)
+    out["large_inner_bucketed_sec"] = round(sec, 4)
+    out["large_inner_bucketed_runs"] = [round(r, 4) for r in timed]
+    out["large_inner_bucketed_build_sec"] = round(build_sec, 2)
+    out["large_inner_bucketed_gtuples_per_sec"] = round(
+        li_cfg.outer_tuples / sec / 1e9, 4
+    )
+    spark.sql("DROP TABLE IF EXISTS bench_li_items")
+    spark.sql("DROP TABLE IF EXISTS bench_li_orders")
+    print(
+        f"# large_inner_bucketed: {sec:.2f} s {runs} "
+        f"(one-time bucketed build {build_sec:.1f} s)",
+        file=sys.stderr,
+    )
+
     # High-cardinality group-by (round 3): groups = 1e6 — the
     # reference's q4112.csv:51-75 config (6.98 s @16T), where its
     # global CAS agg table stops fitting cache and the local-cache
@@ -174,22 +218,33 @@ def _throughput(spark) -> dict[str, float]:
     # map before the spillable row map, and at 1e6 groups a 2^20 map
     # (covers every group) measures 8.55 s vs 10.6 s at the 2^16
     # default, with no regression at groups=100 (1.63 vs 1.73 s) —
-    # see BASELINE.md "Fast-map ablation". Scoped to this config;
-    # a cardinality-aware planner would set it from an
-    # approx_count_distinct estimate, exactly the reference's
-    # FM-sizing pattern (q4112.c:336-377).
-    _CAP_BIT = "spark.sql.codegen.aggregate.fastHashMap.capacityBit"
-    old_bit = spark.conf.get(_CAP_BIT, "16")
-    spark.conf.set(_CAP_BIT, "20")
+    # see BASELINE.md "Fast-map ablation". Since round 5 the knob is
+    # CHOSEN, not pinned: plans/sizing.py estimates the cardinality
+    # with approx_count_distinct and picks the profile from the
+    # measured regime table — the reference's own FM-sizing pattern
+    # (q4112.c:336-377; auto-vs-hand parity in SIZING_PROBE.json).
+    from database_join_spark.plans.sizing import applied, plan_for
+
+    items, orders = q4112_frames(spark, hc_cfg, cores)
+    t0 = time.perf_counter()
+    sizing = plan_for(orders, ["store_id"])
+    est_sec = time.perf_counter() - t0
+    out["part2_groups1e6_sizing"] = {
+        "est_groups": sizing.est_groups,
+        "capacity_bit": sizing.capacity_bit,
+        "tasks_per_core": sizing.tasks_per_core,
+        "profile": sizing.profile,
+        "estimate_sec": round(est_sec, 2),
+    }
     runs = []
-    try:
+    with applied(spark, sizing):
         for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
-            items, orders = q4112_frames(spark, hc_cfg, cores)
+            items, orders = q4112_frames(
+                spark, hc_cfg, sizing.tasks(cores)
+            )
             t0 = time.perf_counter()
             part2_query(items, orders).collect()
             runs.append(time.perf_counter() - t0)
-    finally:
-        spark.conf.set(_CAP_BIT, old_bit)
     timed = runs[1:]
     sec = min(timed)
     out["part2_groups1e6_sec"] = round(sec, 4)
@@ -197,7 +252,13 @@ def _throughput(spark) -> dict[str, float]:
     out["part2_groups1e6_gtuples_per_sec"] = round(
         THROUGHPUT_ROWS / sec / 1e9, 4
     )
-    print(f"# part2_groups1e6: {sec:.2f} s {runs}", file=sys.stderr)
+    print(
+        f"# part2_groups1e6: {sec:.2f} s {runs} "
+        f"(sizing: est={sizing.est_groups} bit={sizing.capacity_bit} "
+        f"tasks={sizing.tasks(cores)} profile={sizing.profile}, "
+        f"estimate {est_sec:.1f} s)",
+        file=sys.stderr,
+    )
     return out
 
 

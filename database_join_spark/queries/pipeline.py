@@ -1366,6 +1366,13 @@ def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return decontam_minhash_core(corpus, ev)
+
+
+def decontam_minhash_core(corpus: DataFrame, ev: DataFrame) -> DataFrame:
+    """Core cross-split near-dup flag over pre-hashed ``(doc_id, hs)``
+    frames — factored out so the scale probe (scripts/decontam_probe.py)
+    drives the exact operator code on synthetic corpora."""
     kw = dict(
         id_col="doc_id", shingle_col="hs",
         num_hashes=32, bands=16, prehashed=True,

@@ -28,6 +28,10 @@ SK_BEGIN = "<!-- SKEW_SCALING:BEGIN (generated — do not edit by hand) -->"
 SK_END = "<!-- SKEW_SCALING:END -->"
 SP_BEGIN = "<!-- SPILL_PROBE:BEGIN (generated — do not edit by hand) -->"
 SP_END = "<!-- SPILL_PROBE:END -->"
+SZ_BEGIN = "<!-- SIZING_PROBE:BEGIN (generated — do not edit by hand) -->"
+SZ_END = "<!-- SIZING_PROBE:END -->"
+DC_BEGIN = "<!-- DECONTAM_PROBE:BEGIN (generated — do not edit by hand) -->"
+DC_END = "<!-- DECONTAM_PROBE:END -->"
 
 #: Human-readable one-liners for spill_probe.py's config matrix.
 SPILL_LABELS = {
@@ -125,6 +129,16 @@ def render(bench_path: Path) -> str:
             f"| — (no matching ref config; see Large-build-side section) "
             f"| {li_sec:.2f} s ⇒ {li_gps:.3f} G tuples/s | — |"
         )
+    lb_sec = wl.get("large_inner_bucketed_sec")
+    if lb_sec is not None:
+        lb_gps = wl.get("large_inner_bucketed_gtuples_per_sec", 0.0)
+        build = wl.get("large_inner_bucketed_build_sec", 0.0)
+        lines.append(
+            f"| large_inner, bucketed co-located (amortized; one-time "
+            f"build {build:.0f} s) "
+            f"| — (same caveat) "
+            f"| {lb_sec:.2f} s ⇒ {lb_gps:.3f} G tuples/s | — |"
+        )
     gate = all(
         wl.get(f"{k}_sec", float("inf")) / REF[k] <= 2.0 for k in REF
     )
@@ -158,11 +172,11 @@ def _render_secondary(primary_path: Path) -> list[str]:
         return []
     return [
         "",
-        f"Secondary, not the artifact of record: the builder's direct "
-        f"`BENCH_FULL.json` capture on a quiet host state measured "
-        f"{', '.join(parts)} on identical code — kept as the "
-        f"best-observed bound; host-state variance is documented in "
-        f"§Part-2 regression.",
+        f"Secondary, not the artifact of record: the builder's latest "
+        f"direct `BENCH_FULL.json` capture measured {', '.join(parts)} "
+        f"on identical code (host state at capture time not "
+        f"controlled; inter-run variance is documented in §Part-2 "
+        f"regression).",
     ]
 
 
@@ -258,6 +272,66 @@ def render_spill_probe() -> str:
     return "\n".join(lines)
 
 
+def render_sizing_probe() -> str:
+    """Auto-sizing parity table (VERDICT r04 #3) from
+    SIZING_PROBE.json: plan_for's chosen profile vs the hand-picked
+    best per measured regime."""
+    data = json.loads((REPO / "SIZING_PROBE.json").read_text())
+    lines = [
+        f"Artifact: `SIZING_PROBE.json` (scripts/sizing_probe.py, "
+        f"rows={data['rows']:.0e}, Part 2; decide and execute run in "
+        f"separate fresh JVMs — the wide-exchange profile is "
+        f"build-time).",
+        "",
+        "| regime | estimate (cost) | auto choice "
+        "(profile / fast-map bit / tasks×core) | hand best | auto (s) "
+        "| hand (s) | auto/hand |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, p in data["points"].items():
+        d = p["decision"]
+        auto = "/".join(str(x) for x in p["auto_config"])
+        hand = "/".join(str(x) for x in p["hand_config"])
+        same = " (same)" if p["config_identical"] else ""
+        lines.append(
+            f"| {name} (groups={p['groups']:.0e}) "
+            f"| {d['est_groups']:,} ({d['estimate_sec']:.1f} s) "
+            f"| {auto} | {hand}{same} "
+            f"| {p['auto_sec']:.2f} | {p['hand_sec']:.2f} "
+            f"| **{p['auto_over_hand']:.2f}×** |"
+        )
+    return "\n".join(lines)
+
+
+def render_decontam_probe() -> str:
+    """Cross-corpus decontamination scaling table (VERDICT r04 #5)
+    from DECONTAM_PROBE.json."""
+    data = json.loads((REPO / "DECONTAM_PROBE.json").read_text())
+    lines = [
+        "Artifact: `DECONTAM_PROBE.json` (scripts/decontam_probe.py, "
+        "fixed 10k-doc benchmark split, planted J≈0.78 leaks at 1% of "
+        "the corpus, 50k-word vocabulary, local[32]).",
+        "",
+        "| corpus docs | sec | docs/s | flagged | recall | precision |",
+        "|---|---|---|---|---|---|",
+    ]
+    for p in data["points"]:
+        lines.append(
+            f"| {p['corpus_docs']:,} | {p['sec']:.1f} "
+            f"| {p['docs_per_sec']:,} | {p['flagged']:,} "
+            f"| {p['recall']:.2f} | {p['precision']:.2f} |"
+        )
+    g = data.get("growth") or {}
+    if g:
+        lines += [
+            "",
+            f"Growth: {g['size_ratio']}× corpus → {g['time_ratio']}× "
+            f"wall-clock (linear-ish scan + collision mass, not "
+            f"corpus²).",
+        ]
+    return "\n".join(lines)
+
+
 def _splice(text: str, begin: str, end: str, body: str) -> str:
     pre, rest = text.split(begin, 1)
     _, post = rest.split(end, 1)
@@ -283,6 +357,10 @@ def main() -> None:
         text = _splice(text, SK_BEGIN, SK_END, render_skew_scaling())
     if SP_BEGIN in text and (REPO / "SPILL_PROBE.json").exists():
         text = _splice(text, SP_BEGIN, SP_END, render_spill_probe())
+    if SZ_BEGIN in text and (REPO / "SIZING_PROBE.json").exists():
+        text = _splice(text, SZ_BEGIN, SZ_END, render_sizing_probe())
+    if DC_BEGIN in text and (REPO / "DECONTAM_PROBE.json").exists():
+        text = _splice(text, DC_BEGIN, DC_END, render_decontam_probe())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 

@@ -1,0 +1,100 @@
+"""Pins for the FM-sizing loop (VERDICT r04 Next #3): the decision
+thresholds ARE the product — they encode BASELINE.md's measured
+regime table — so they are pinned exactly, and the estimator is
+checked against known cardinalities."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_join_spark.plans.sizing import (
+    FAST_MAP_MAX_BIT,
+    FAST_MAP_MIN_BIT,
+    WIDE_EXCHANGE_GROUPS,
+    applied,
+    decide,
+    estimate_groups,
+    plan_for,
+)
+
+
+def test_decide_thresholds_match_measured_regimes():
+    """The three measured regimes (BASELINE.md: groups=100 / 1e6 /
+    1e8) must map to exactly the hand-picked winning configs that the
+    r03/r04 probes measured; a silent threshold drift here would
+    re-open the 2^16-default 10.63 s and 207.5 s regressions."""
+    # groups=100: default fast map (insensitive regime), 1 task/core
+    s = decide(100)
+    assert (s.capacity_bit, s.tasks_per_core, s.profile) == (
+        FAST_MAP_MIN_BIT,
+        1,
+        "default",
+    )
+    # groups=1e6: covering fast map (2^20 measured 8.55 s vs 10.63 s
+    # at 2^16), still 1 task/core (4x tasks measured to LOSE here:
+    # 8.39 -> 10.63 s across 32->128 tasks)
+    s = decide(1_000_000)
+    assert (s.capacity_bit, s.tasks_per_core, s.profile) == (
+        FAST_MAP_MAX_BIT,
+        1,
+        "default",
+    )
+    # groups=1e8: no-reduction exchange - wide-exchange confs + 4x
+    # map tasks (35.2 s vs 207.5 s defaults)
+    s = decide(100_000_000)
+    assert (s.capacity_bit, s.tasks_per_core, s.profile) == (
+        FAST_MAP_MAX_BIT,
+        4,
+        "wide-exchange",
+    )
+    assert s.tasks(32) == 128
+
+
+def test_decide_boundaries():
+    """Exact boundary behavior: the wide-exchange cliff sits at
+    WIDE_EXCHANGE_GROUPS, and the fast-map bit interpolates (with
+    coverage slack) between the min and max bits."""
+    assert decide(WIDE_EXCHANGE_GROUPS).profile == "wide-exchange"
+    assert decide(WIDE_EXCHANGE_GROUPS - 1).profile == "default"
+    # slack pushes just-past-2^16 cardinalities to a 17-bit map
+    assert decide(65_536).capacity_bit == 17
+    assert decide(40_000).capacity_bit == FAST_MAP_MIN_BIT
+    # degenerate inputs clamp instead of exploding
+    assert decide(0).capacity_bit == FAST_MAP_MIN_BIT
+    assert decide(1).tasks_per_core == 1
+
+
+@pytest.mark.parametrize("true_n", [100, 100_000])
+def test_estimate_groups_accuracy(spark, true_n):
+    """HLL++ estimate within 15% of truth (rsd=0.05 gives ~5% sigma;
+    15% is a 3-sigma acceptance band) on a frame with known
+    cardinality and 10x row duplication."""
+    df = spark.range(0, true_n * 10).select(
+        (F.col("id") % true_n).alias("g")
+    )
+    est = estimate_groups(df, ["g"])
+    assert abs(est - true_n) / true_n <= 0.15
+
+
+def test_estimate_groups_multi_column(spark):
+    """Multi-column keys estimate the COMBINED cardinality."""
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    est = estimate_groups(df, ["a", "b"])
+    assert abs(est - 70) / 70 <= 0.15
+
+
+def test_plan_for_end_to_end_and_applied(spark):
+    """plan_for on a small frame lands in the default regime, and
+    applied() sets the runtime-settable knob for the block only."""
+    conf = "spark.sql.codegen.aggregate.fastHashMap.capacityBit"
+    df = spark.range(0, 1000).select((F.col("id") % 50).alias("g"))
+    sizing = plan_for(df, ["g"])
+    assert sizing.profile == "default"
+    assert sizing.capacity_bit == FAST_MAP_MIN_BIT
+    before = spark.conf.get(conf, "16")
+    with applied(spark, decide(1_000_000)) as s:
+        assert spark.conf.get(conf) == str(s.capacity_bit) == "20"
+    assert spark.conf.get(conf, "16") == before

@@ -413,3 +413,109 @@ def test_stateful_sessionize_late_event_does_not_regress_cursor(
         (u, s): (r["n"], r["dur"]) for (u, s), r in final.iterrows()
     }
     assert rows == {(7, 1): (4, 2700)}, rows
+
+
+def test_stateful_dedup_drops_late_cross_batch_duplicate(spark, tmp_path):
+    """Out-of-order replay for dropDuplicatesWithinWatermark (VERDICT
+    r04 #7): a duplicate event_id redelivered in a LATER micro-batch
+    with an earlier (late) timestamp must still be dropped — the
+    dedup state restored from the checkpoint covers the watermark
+    horizon — while a fresh late id within the horizon is kept."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_dd")
+    out = str(tmp_path / "out_dd")
+
+    def write_batch(subdir: str, rows: list[tuple[int, str]]) -> None:
+        spark.createDataFrame(rows, "event_id BIGINT, ts_s STRING").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP"
+        ).parquet(f"{src}/*")
+        q = (
+            ST.dedup_within_watermark(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    write_batch("a", [(1, "2024-01-01 10:00:00"),
+                      (2, "2024-01-01 10:30:00")])
+    run_once()
+    # b: id=1 redelivered LATE (10:05 < 10:30) across the batch
+    # boundary → dropped; id=3 is new and late (09:00) but inside the
+    # 1-day horizon → kept exactly once
+    write_batch("b", [(1, "2024-01-01 10:05:00"),
+                      (3, "2024-01-01 09:00:00")])
+    run_once()
+
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == [1, 2, 3], got
+
+
+def test_upsert_sink_with_upstream_dedup_ignores_late_duplicate(
+    spark, tmp_path
+):
+    """Composition replay (VERDICT r04 #7): dedup-within-watermark
+    feeding the keyed-upsert sink. A late duplicate delivery arriving
+    across a batch boundary must not inflate the committed totals —
+    the dedup state (restored from the shared checkpoint) absorbs it
+    before the merge — while genuinely new events in the same batch
+    still fold in."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "up_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_up")
+    target = str(tmp_path / "totals_up")
+
+    def write_batch(
+        subdir: str, rows: list[tuple[int, int, int, str]]
+    ) -> None:
+        spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, value BIGINT, ts_s STRING"
+        ).select(
+            "event_id", "user_id", "value",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, value BIGINT, ts TIMESTAMP"
+        ).parquet(f"{src}/*")
+        ST.upsert_totals_foreach_batch(
+            ST.dedup_within_watermark(stream), target, ckpt
+        )
+
+    write_batch("a", [(1, 7, 10, "2024-01-01 10:00:00"),
+                      (2, 7, 5, "2024-01-01 10:30:00"),
+                      (3, 8, 1, "2024-01-01 10:10:00")])
+    run_once()
+    # late duplicate of event 1 (earlier ts, later batch) + one real
+    # new event for user 8
+    write_batch("b", [(1, 7, 10, "2024-01-01 10:05:00"),
+                      (4, 8, 2, "2024-01-01 10:40:00")])
+    run_once()
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ST.read_upsert_target(spark, target).collect()
+    }
+    assert got == {7: (2, 15), 8: (2, 3)}, got
