@@ -82,6 +82,11 @@ TAIL = """
 | operator kernels on arbitrary inputs | operators/dedup.py | hypothesis properties (test_property) |
 | connected components (min-label propagation, leak-free checkpoints) | operators/dedup.py | chain/triangle fixpoint (test_pipeline) |
 | dedup scaling probe (100k→1M docs, ~linear, recall 1.00) | scripts/scale_probe.py | BASELINE.md §scaling |
+| decontam scaling probe (1M corpus vs 10k benchmark, recall/precision 1.00) | scripts/decontam_probe.py | BASELINE.md §decontam scaling |
+| cardinality-driven execution profile (FM-sizing loop) | plans/sizing.py | threshold pins (test_sizing) + SIZING_PROBE.json parity |
+| avg_int Catalyst session extension (spark.sql.extensions, Java) | java_ext/ | resolved-plan + integer-division oracle (test_java_ext) |
+| out-of-order replay: stateful dedup + upsert sink late duplicates | streaming/ | cross-batch late-dup tests (test_streaming) |
+| ExactSubstr span excision round-trip | queries/pipeline.py | cleaned corpus re-scan yields zero spans (test_pipeline) |
 """
 
 
