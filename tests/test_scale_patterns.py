@@ -91,6 +91,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
                 orders, li.l_orderkey == orders.o_orderkey
             ).count()
             assert joined.count() == want
+            # The HASH spelling of the co-located join (bench.py's
+            # large_inner_bucketed since r05: per-bucket hash build,
+            # 2.45 s vs the merge join's 3.92 s at inner=1e7) must be
+            # equally Exchange-free — the hint changes the build
+            # strategy, never the distribution requirement.
+            hj = bl.join(
+                bo.hint("shuffle_hash"), bl.l_orderkey == bo.o_orderkey
+            ).select("o_orderpriority", "l_extendedprice")
+            hj_plan = P.plan_string(hj, mode="simple")
+            assert "ShuffledHashJoin" in hj_plan, hj_plan
+            assert "Exchange" not in hj_plan, hj_plan
+            assert hj.count() == want
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
