@@ -675,6 +675,124 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 30c'. quality_gopher_rules — rule-based document filter (Gopher/C4 style)
+# --------------------------------------------------------------------------
+_GR_MIN_WORDS, _GR_MAX_WORDS = 30, 80
+_GR_MIN_WLEN, _GR_MAX_WLEN = 4, 10  # mean word length bounds
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH sig AS (
+      SELECT source,
+             len(tk) AS n,
+             list_sum(list_transform(tk, x -> len(x))) AS sumlen,
+             len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+               AS alpha,
+             len(list_filter(tk, t -> list_contains(
+               ['the', 'a', 'of', 'and', 'is'], t))) AS stop
+      FROM (
+        SELECT source, {T.TOKENS_DUCK.format(c="text")} AS tk
+        FROM documents
+      )
+    ),
+    f AS (
+      SELECT source,
+             (n < {_GR_MIN_WORDS} OR n > {_GR_MAX_WORDS}) AS f_len,
+             (sumlen < {_GR_MIN_WLEN} * n
+              OR sumlen > {_GR_MAX_WLEN} * n) AS f_wlen,
+             (5 * alpha < 4 * n) AS f_alpha,
+             (stop < 1) AS f_stop
+      FROM sig
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT f_len AND NOT f_wlen
+                          AND NOT f_alpha AND NOT f_stop
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_len,
+           CAST(SUM(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_wlen,
+           CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_alpha,
+           CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_stop
+    FROM f GROUP BY source
+    """,
+    tags=("pipeline", "text", "quality"),
+    gated=False,  # new r05; r06 rotation candidate (STATUS.md tracks)
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document filtering in the style of the published
+    Gopher/C4 quality heuristics: a document PASSES only if every
+    rule holds — word count in [{mn},{mx}], mean word length in
+    [{wl},{wh}], ≥80% of tokens contain a letter, and ≥1 English
+    stopword hit. Output is the per-source audit a pipeline operator
+    needs before dropping data: docs seen, docs passing, and a
+    failure count per rule (a doc can fail several).
+
+    All rule arithmetic is INTEGER-exact (mean-word-length bounds as
+    ``sumlen >= {wl}*n`` / ``sumlen <= {wh}*n``, the 80% alpha bound
+    as ``5*alpha >= 4*n``) — no floating point anywhere, so the
+    DuckDB oracle hash can never drift on formatting or summation
+    order (same discipline as text_quality).
+
+    100 TB: one scan, per-doc signals are scalar JVM expressions over
+    the token array, and the only exchange is the per-source partial
+    aggregate (source-cardinality-bounded). Nothing like this exists
+    in the reference (two uint32 tables, q4112.h:13-41).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = T.TOKENS_SQL.format(c="text")
+    sig = docs.select(
+        "source",
+        F.expr(f"size({toks})").cast("long").alias("n"),
+        F.expr(
+            f"aggregate({toks}, 0L, (acc, x) -> acc + length(x))"
+        ).alias("sumlen"),
+        F.expr(
+            f"size(filter({toks}, x -> x rlike '[a-z]'))"
+        ).cast("long").alias("alpha"),
+        F.expr(
+            f"size(filter({toks}, t -> array_contains("
+            "array('the','a','of','and','is'), t)))"
+        ).cast("long").alias("stop"),
+    ).select(
+        "source",
+        (
+            (F.col("n") < _GR_MIN_WORDS) | (F.col("n") > _GR_MAX_WORDS)
+        ).alias("f_len"),
+        (
+            (F.col("sumlen") < _GR_MIN_WLEN * F.col("n"))
+            | (F.col("sumlen") > _GR_MAX_WLEN * F.col("n"))
+        ).alias("f_wlen"),
+        (5 * F.col("alpha") < 4 * F.col("n")).alias("f_alpha"),
+        (F.col("stop") < 1).alias("f_stop"),
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (
+                ~F.col("f_len")
+                & ~F.col("f_wlen")
+                & ~F.col("f_alpha")
+                & ~F.col("f_stop")
+            ).cast("long")
+        ).alias("n_pass"),
+        F.sum(F.col("f_len").cast("long")).alias("fail_len"),
+        F.sum(F.col("f_wlen").cast("long")).alias("fail_wlen"),
+        F.sum(F.col("f_alpha").cast("long")).alias("fail_alpha"),
+        F.sum(F.col("f_stop").cast("long")).alias("fail_stop"),
+    )
+
+
+quality_gopher_rules.__doc__ = quality_gopher_rules.__doc__.format(
+    mn=_GR_MIN_WORDS, mx=_GR_MAX_WORDS, wl=_GR_MIN_WLEN, wh=_GR_MAX_WLEN
+)
+
+
+# --------------------------------------------------------------------------
 # 30d. text_winnow — rolling-hash (winnowed) fingerprint dup pairs
 # --------------------------------------------------------------------------
 @query(
