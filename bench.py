@@ -311,9 +311,12 @@ def main() -> None:
     if scaling.exists():
         full["thread_scaling"] = json.loads(scaling.read_text())
         full["thread_scaling"]["source"] = "scripts/thread_scaling.py"
-    (Path(_REPO) / "BENCH_FULL.json").write_text(
-        json.dumps(full, indent=1) + "\n"
+    # BENCH_FULL_PATH override keeps toy/smoke runs (tests) from
+    # clobbering the committed full-payload artifact of record.
+    full_path = Path(
+        os.environ.get("BENCH_FULL_PATH", Path(_REPO) / "BENCH_FULL.json")
     )
+    full_path.write_text(json.dumps(full, indent=1) + "\n")
 
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the 2,000-char tail capture

@@ -1,0 +1,81 @@
+"""bench.py contract smoke test.
+
+The driver records bench.py's single stdout JSON line as the round's
+BENCH artifact; a crash or malformed line loses the round's
+performance record (r03 lost its query map to output truncation).
+This runs the REAL bench.py in a subprocess at toy scale and pins
+the output contract: one parseable JSON line, the required keys
+(including the round-5 additions: sizing decision, bucketed
+large-inner), and the 1,900-char budget the driver's tail capture
+imposes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_one_valid_slim_json_line(tmp_path):
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_CPUS": "8",
+        "BENCH_REPEATS": "1",
+        "BENCH_THROUGHPUT_ROWS": "2000000",
+        "PYTHONPATH": str(REPO),
+        # keep the toy run from clobbering the repo's committed
+        # full-payload sidecar
+        "BENCH_FULL_PATH": str(tmp_path / "BENCH_FULL.json"),
+    }
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert len(lines) == 1, proc.stdout
+    line = lines[0]
+    assert len(line) <= 1900  # driver tail-capture budget
+    out = json.loads(line)
+    assert out["metric"] == "bench_total_sec"
+    assert out["unit"] == "sec"
+    assert out["queries"] and all(
+        v > 0 for v in out["queries"].values()
+    )
+    wl = out.get("reference_workload")
+    if wl is None:  # slim fallback when the line would overflow
+        assert out.get("reference_workload_in") == "BENCH_FULL.json"
+        wl = json.loads(
+            (tmp_path / "BENCH_FULL.json").read_text()
+        )["reference_workload"]
+    # the full sidecar landed at the overridden path, not the repo's
+    assert (tmp_path / "BENCH_FULL.json").exists()
+    for key in (
+        "q4112_part1_sec",
+        "q4112_part2_sec",
+        "part2_groups1e6_sec",
+        "part2_groups1e6_sizing",
+        "large_inner_sec",
+        "large_inner_bucketed_sec",
+        "large_inner_bucketed_build_sec",
+    ):
+        assert key in wl, sorted(wl)
+    sizing = wl["part2_groups1e6_sizing"]
+    assert set(sizing) >= {
+        "est_groups",
+        "capacity_bit",
+        "tasks_per_core",
+        "profile",
+    }
