@@ -159,6 +159,46 @@ def part2_query(items: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def part2_query_repartition_first(
+    items: DataFrame, orders: DataFrame, partitions: int
+) -> DataFrame:
+    """Part 2 spelled for the NO-REDUCTION cardinality regime
+    (groups ≳ rows-per-task): an explicit ``repartition(key)``
+    BEFORE the group-by, so aggregation happens entirely
+    post-exchange where each task owns all rows of its ~groups/N
+    keys.
+
+    Why this beats the default plan there: Spark's standard
+    partial-then-final aggregate builds a per-task hash map BEFORE
+    the exchange; when nearly every row is its own group that map
+    reduces nothing, yet it still costs an ~rows-per-task-entry
+    build + spill per map task — the heap pressure SPILL_PROBE
+    chased with confs. Shipping the raw (key, value) rows instead
+    moves the same exchange mass but builds ONE small covering map
+    per reducer (groups/partitions entries). Measured same-session
+    at groups=1e8 uniform, 1e9 rows (REGROUP_PROBE.json): the
+    rewrite under the UNTUNED profile is the best arm (1.15× over
+    the conf-tuned default plan; ~2.3× under heavy host pressure,
+    BASELINE.md §repartition-first) and needs no tuned confs. In the REDUCING regimes (groups ≪ rows
+    per task) the standard plan's partial agg is a massive win —
+    use :func:`part2_query` there; plans/sizing.py's ``decide()``
+    picks the spelling from the cardinality estimate.
+    """
+    joined = orders.join(F.broadcast(items), items.id == orders.item_id)
+    pre = joined.select(
+        "store_id", (F.col("price") * F.col("quantity")).alias("v")
+    )
+    per_store = (
+        pre.repartition(partitions, "store_id")
+        .groupBy("store_id")
+        .agg(F.expr("sum(v) DIV count(*)").alias("g"))
+    )
+    return per_store.agg(
+        F.expr("sum(g) DIV count(g)").alias("avg_of_avgs"),
+        F.count("g").alias("n_groups"),
+    )
+
+
 def part2_oracle(cfg: Q4112Config) -> tuple[int, int]:
     """The correct Part-2 answer, computed independently in numpy
     (the ``q4112_gen`` returns-the-answer contract, q4112.h:13).

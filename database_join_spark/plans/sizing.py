@@ -23,10 +23,11 @@ fast map covers)  fast map, 1 task/core       (1.63 vs 1.73 s)
 2^16 … ~1e7       fast map sized to cover     1e6: 2^20 8.55 s vs 2^16
                   ALL groups, 1 task/core     10.63 s; 4× tasks LOSES
                                               (8.39 → 10.63 s @128t)
-≥ ~1e7            wide-exchange confs + big   1e8: 35.2 s vs 207.5 s
-(no-reduction     heap + 4× map tasks         defaults (5.9×); the two
-exchange)                                     regimes need OPPOSITE
-                                              task counts
+≥ ~1e7            repartition-first rewrite   1e8: best arm same-session
+(no-reduction     (no pre-exchange partial    (REGROUP_PROBE.json); conf-
+exchange)         map), UNTUNED profile, 4×   only fallback: wide-
+                  partitions                  exchange + 4× tasks (35.2
+                                              vs 207.5 s defaults, r04)
 ================  ==========================  =========================
 
 The ~1e7 boundary is where partial aggregation stops reducing: at
@@ -62,7 +63,8 @@ FAST_MAP_MIN_BIT = 16
 #: no regression at groups=100 (BASELINE.md §Fast-map ablation).
 FAST_MAP_MAX_BIT = 20
 #: Groups at or above this enter the no-reduction-exchange regime:
-#: wide-exchange confs + 4× map tasks (BASELINE.md §spill matrix).
+#: repartition-first rewrite (r05, BASELINE.md §repartition-first);
+#: conf-only fallback = wide-exchange + 4× tasks (§spill matrix).
 WIDE_EXCHANGE_GROUPS = 10_000_000
 #: Headroom over the HLL estimate when sizing the fast map (covers
 #: the 5% default rsd plus hash-occupancy slack).
@@ -84,6 +86,16 @@ class AggSizing:
     #: workload should run under (build-time confs; at runtime only
     #: capacity_bit and task count can still be applied)
     profile: str
+    #: False in the no-reduction regime: the caller should spell the
+    #: aggregate repartition-first (datagen.part2_query_repartition_
+    #: first is the template) so no partial map is built before the
+    #: exchange. Callers that CANNOT rewrite the plan should fall
+    #: back to the conf-only mitigation (wide-exchange profile +
+    #: 4× tasks, SPILL_PROBE's winner) — the rewrite beat that tuned
+    #: default plan on every measured host state (1.15× same-session
+    #: artifact, ~2.3× under heavy host pressure; REGROUP_PROBE.json
+    #: + BASELINE.md §repartition-first).
+    partial_before_exchange: bool = True
 
     def tasks(self, cores: int) -> int:
         return self.tasks_per_core * cores
@@ -92,10 +104,29 @@ class AggSizing:
 def decide(est_groups: int) -> AggSizing:
     """Pure decision step — the regime table above as code. Split
     from :func:`plan_for` so the thresholds are pytest-pinnable
-    without a Spark pass (tests/test_sizing.py)."""
+    without a Spark pass (tests/test_sizing.py).
+
+    Round-5 revision for the ≥1e7 regime: the winning answer is a
+    PLAN shape, not a conf set — repartition on the group key first
+    and aggregate once post-exchange (the pre-exchange partial map
+    reduces nothing at this cardinality and its build/spill was the
+    heap pressure the r04 conf matrix mitigated). Same-session arms
+    at groups=1e8 (REGROUP_PROBE.json): rewrite+untuned is the best
+    arm (1.15× over the conf-tuned default plan; ~2.3× under heavy
+    host pressure in the exploratory pair, BASELINE.md), and the
+    wide-exchange confs do not help the raw-row exchange, so
+    the profile recommendation in this regime is now "default" with
+    the rewrite, 4× partitions (the 1×/8× arms lose), and a fast map
+    covering the ~groups/partitions keys each reducer owns."""
     est = max(int(est_groups), 1)
     if est >= WIDE_EXCHANGE_GROUPS:
-        return AggSizing(est, FAST_MAP_MAX_BIT, 4, "wide-exchange")
+        return AggSizing(
+            est,
+            FAST_MAP_MAX_BIT,
+            4,
+            "default",
+            partial_before_exchange=False,
+        )
     cover_bit = math.ceil(math.log2(est * _COVER_SLACK))
     bit = min(FAST_MAP_MAX_BIT, max(FAST_MAP_MIN_BIT, cover_bit))
     return AggSizing(est, bit, 1, "default")

@@ -32,6 +32,8 @@ SZ_BEGIN = "<!-- SIZING_PROBE:BEGIN (generated — do not edit by hand) -->"
 SZ_END = "<!-- SIZING_PROBE:END -->"
 DC_BEGIN = "<!-- DECONTAM_PROBE:BEGIN (generated — do not edit by hand) -->"
 DC_END = "<!-- DECONTAM_PROBE:END -->"
+RG_BEGIN = "<!-- REGROUP_PROBE:BEGIN (generated — do not edit by hand) -->"
+RG_END = "<!-- REGROUP_PROBE:END -->"
 
 #: Human-readable one-liners for spill_probe.py's config matrix.
 SPILL_LABELS = {
@@ -284,8 +286,8 @@ def render_sizing_probe() -> str:
         f"build-time).",
         "",
         "| regime | estimate (cost) | auto choice "
-        "(profile / fast-map bit / tasks×core) | hand best | auto (s) "
-        "| hand (s) | auto/hand |",
+        "(spelling / profile / fast-map bit / tasks×core) | hand best "
+        "| auto (s) | hand (s) | auto/hand |",
         "|---|---|---|---|---|---|---|",
     ]
     for name, p in data["points"].items():
@@ -332,6 +334,28 @@ def render_decontam_probe() -> str:
     return "\n".join(lines)
 
 
+def render_regroup_probe() -> str:
+    """Aggregate-spelling arms at groups=1e8 uniform (round 5) from
+    REGROUP_PROBE.json."""
+    data = json.loads((REPO / "REGROUP_PROBE.json").read_text())
+    lines = [
+        f"Artifact: `REGROUP_PROBE.json` (scripts/regroup_probe.py, "
+        f"rows={data['rows']:.0e}, groups={data['groups']:.0e} "
+        f"uniform, Part 2, {data['reps']} timed runs per arm, fresh "
+        f"JVM per arm, all arms same session-day).",
+        "",
+        "| arm | plan spelling | profile | parts | runs (s) | min |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, p in data["points"].items():
+        runs = " / ".join(f"{r:.1f}" for r in p["runs"])
+        lines.append(
+            f"| {name} | {p['spelling']} | {p['profile']} "
+            f"| {p['parts_mult']}×cores | {runs} | **{p['min']:.1f}** |"
+        )
+    return "\n".join(lines)
+
+
 def _splice(text: str, begin: str, end: str, body: str) -> str:
     pre, rest = text.split(begin, 1)
     _, post = rest.split(end, 1)
@@ -361,6 +385,8 @@ def main() -> None:
         text = _splice(text, SZ_BEGIN, SZ_END, render_sizing_probe())
     if DC_BEGIN in text and (REPO / "DECONTAM_PROBE.json").exists():
         text = _splice(text, DC_BEGIN, DC_END, render_decontam_probe())
+    if RG_BEGIN in text and (REPO / "REGROUP_PROBE.json").exists():
+        text = _splice(text, RG_BEGIN, RG_END, render_regroup_probe())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 

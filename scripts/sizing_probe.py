@@ -37,12 +37,19 @@ from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent.parent)
 
-#: groups, timed reps, hand-picked best (profile, capacity_bit,
-#: tasks_per_core) per BASELINE.md's r03/r04 measurements.
+#: groups, timed reps, hand-picked best (spelling, profile,
+#: capacity_bit, tasks_per_core) per BASELINE.md's r03/r04
+#: measurements. The g1e8 hand config stays the r04 best practice
+#: (default plan + wide-exchange confs) ON PURPOSE: round 5's auto
+#: decision switched that regime to the repartition-first rewrite
+#: (REGROUP_PROBE.json), so the parity row now measures the rewrite
+#: against the best conf-only answer.
 REGIMES: dict[str, dict] = {
-    "g100": {"groups": 100, "reps": 5, "hand": ("default", 16, 1)},
-    "g1e6": {"groups": 1_000_000, "reps": 3, "hand": ("default", 20, 1)},
-    "g1e8": {"groups": 100_000_000, "reps": 2, "hand": ("wide-exchange", 16, 4)},
+    "g100": {"groups": 100, "reps": 5, "hand": ("plain", "default", 16, 1)},
+    "g1e6": {"groups": 1_000_000, "reps": 3,
+             "hand": ("plain", "default", 20, 1)},
+    "g1e8": {"groups": 100_000_000, "reps": 2,
+             "hand": ("plain", "wide-exchange", 16, 4)},
 }
 
 _DECIDE_PROG = r"""
@@ -64,6 +71,7 @@ s = plan_for(orders, ["store_id"])
 print("RESULT " + json.dumps({{
     "est_groups": s.est_groups, "capacity_bit": s.capacity_bit,
     "tasks_per_core": s.tasks_per_core, "profile": s.profile,
+    "partial_before_exchange": s.partial_before_exchange,
     "estimate_sec": round(time.perf_counter() - t0, 2)}}))
 spark.stop()
 """
@@ -71,11 +79,13 @@ spark.stop()
 _EXEC_PROG = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
-from database_join_spark.datagen import Q4112Config, part2_query, q4112_frames
+from database_join_spark.datagen import (
+    Q4112Config, part2_query, part2_query_repartition_first, q4112_frames)
 from database_join_spark.plans.sizing import AggSizing, applied
 from database_join_spark.session import get_spark
 
-profile, bit, mult, reps = {profile!r}, {bit}, {mult}, {reps}
+spelling, profile, bit, mult, reps = (
+    {spelling!r}, {profile!r}, {bit}, {mult}, {reps})
 spark = get_spark(app_name="sizing-exec",
                   profile=None if profile == "default" else profile)
 spark.sparkContext.setLogLevel("ERROR")
@@ -89,14 +99,20 @@ wcfg = Q4112Config(inner_tuples=100, outer_tuples={rows} // 20,
                    price_max=50, qty_max=20)
 sizing = AggSizing(est_groups={groups}, capacity_bit=bit,
                    tasks_per_core=mult, profile=profile)
+
+def query(items, orders):
+    if spelling == "repart":
+        return part2_query_repartition_first(items, orders, cores * mult)
+    return part2_query(items, orders)
+
 runs = []
 with applied(spark, sizing):
     wi, wo = q4112_frames(spark, wcfg, cores * mult)
-    part2_query(wi, wo).collect()
+    query(wi, wo).collect()
     for _ in range(reps):
         items, orders = q4112_frames(spark, cfg, cores * mult)
         t0 = time.perf_counter()
-        part2_query(items, orders).collect()
+        query(items, orders).collect()
         runs.append(round(time.perf_counter() - t0, 4))
 print("RESULT " + json.dumps(runs))
 spark.stop()
@@ -124,15 +140,17 @@ def probe_regime(name: str, rows: int) -> dict:
     )
     print(f"# {name} decide: {decision}", file=sys.stderr)
 
-    def execute(profile: str, bit: int, mult: int) -> list:
+    def execute(spelling: str, profile: str, bit: int, mult: int) -> list:
         return _run(
             _EXEC_PROG.format(
                 repo=_REPO, rows=rows, groups=groups, reps=reps,
-                profile=profile, bit=bit, mult=mult,
+                spelling=spelling, profile=profile, bit=bit, mult=mult,
             )
         )
 
     auto_cfg = (
+        "plain" if decision.get("partial_before_exchange", True)
+        else "repart",
         decision["profile"],
         decision["capacity_bit"],
         decision["tasks_per_core"],

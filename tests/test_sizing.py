@@ -40,14 +40,21 @@ def test_decide_thresholds_match_measured_regimes():
         1,
         "default",
     )
-    # groups=1e8: no-reduction exchange - wide-exchange confs + 4x
-    # map tasks (35.2 s vs 207.5 s defaults)
+    # groups=1e8: no-reduction exchange. Round-5 revision: the
+    # winning answer is the repartition-first PLAN rewrite (no
+    # pre-exchange partial map) under the UNTUNED profile - the best
+    # arm same-session (1.15x over the conf-tuned default plan;
+    # ~2.3x under heavy host pressure) and the wide-exchange confs
+    # do not help the raw-row exchange (REGROUP_PROBE.json).
+    # 4x partitions (1x/8x arms lose), fast map covering the
+    # ~groups/partitions keys per reducer.
     s = decide(100_000_000)
     assert (s.capacity_bit, s.tasks_per_core, s.profile) == (
         FAST_MAP_MAX_BIT,
         4,
-        "wide-exchange",
+        "default",
     )
+    assert s.partial_before_exchange is False
     assert s.tasks(32) == 128
 
 
@@ -55,8 +62,8 @@ def test_decide_boundaries():
     """Exact boundary behavior: the wide-exchange cliff sits at
     WIDE_EXCHANGE_GROUPS, and the fast-map bit interpolates (with
     coverage slack) between the min and max bits."""
-    assert decide(WIDE_EXCHANGE_GROUPS).profile == "wide-exchange"
-    assert decide(WIDE_EXCHANGE_GROUPS - 1).profile == "default"
+    assert decide(WIDE_EXCHANGE_GROUPS).partial_before_exchange is False
+    assert decide(WIDE_EXCHANGE_GROUPS - 1).partial_before_exchange is True
     # slack pushes just-past-2^16 cardinalities to a 17-bit map
     assert decide(65_536).capacity_bit == 17
     assert decide(40_000).capacity_bit == FAST_MAP_MIN_BIT
