@@ -69,6 +69,17 @@ WIDE_EXCHANGE_GROUPS = 10_000_000
 #: Headroom over the HLL estimate when sizing the fast map (covers
 #: the 5% default rsd plus hash-occupancy slack).
 _COVER_SLACK = 1.3
+#: Reducer-overload bound for the repartition-first rewrite: if the
+#: most frequent key's row share exceeds this multiple of the fair
+#: 1/partitions share, one reducer would serialize the hot mass and
+#: the rewrite loses — REGROUP_PROBE's hh1 arms measured it 3× slower
+#: than the default plan (whose partial agg crushes the hot key
+#: map-side), while the hh100 arms (hot mass spread over ≥ O(cores)
+#: keys) still favor the rewrite.
+SKEW_TOP_SHARE_FACTOR = 2.0
+#: Default reducer count for the guard (4 × the 32 local cores);
+#: cluster callers pass their real partitions.
+DEFAULT_PARTITIONS = 128
 
 _CAP_BIT_CONF = "spark.sql.codegen.aggregate.fastHashMap.capacityBit"
 
@@ -101,7 +112,11 @@ class AggSizing:
         return self.tasks_per_core * cores
 
 
-def decide(est_groups: int) -> AggSizing:
+def decide(
+    est_groups: int,
+    top_share: float | None = None,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> AggSizing:
     """Pure decision step — the regime table above as code. Split
     from :func:`plan_for` so the thresholds are pytest-pinnable
     without a Spark pass (tests/test_sizing.py).
@@ -120,6 +135,21 @@ def decide(est_groups: int) -> AggSizing:
     covering the ~groups/partitions keys each reducer owns."""
     est = max(int(est_groups), 1)
     if est >= WIDE_EXCHANGE_GROUPS:
+        if (
+            top_share is not None
+            and top_share * partitions > SKEW_TOP_SHARE_FACTOR
+        ):
+            # A hot key would overload one reducer under the rewrite
+            # (hh1 arms, REGROUP_PROBE.json): keep the partial agg —
+            # it absorbs the hot key map-side — and fall back to the
+            # conf-only mitigation for the residual wide exchange.
+            return AggSizing(
+                est,
+                FAST_MAP_MAX_BIT,
+                4,
+                "wide-exchange",
+                partial_before_exchange=True,
+            )
         return AggSizing(
             est,
             FAST_MAP_MAX_BIT,
@@ -148,13 +178,52 @@ def estimate_groups(
     return int(row["n"])
 
 
+def estimate_top_share(
+    df: DataFrame,
+    group_cols: list[str],
+    fraction: float = 0.001,
+    seed: int = 7,
+) -> float | None:
+    """Sampled row-frequency share of the most frequent key. A heavy
+    hitter is, by definition, frequent — a small uniform ROW sample
+    sees it (unlike distinct counts, frequency shares extrapolate
+    from row samples). Returns None on an empty sample."""
+    key = (
+        F.struct(*[F.col(c) for c in group_cols])
+        if len(group_cols) > 1
+        else F.col(group_cols[0])
+    )
+    sampled = df.select(key.alias("k")).sample(
+        fraction=fraction, seed=seed
+    )
+    row = (
+        sampled.groupBy("k")
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .first()
+    )
+    if not row or not row["tot"]:
+        return None
+    return float(row["mx"]) / float(row["tot"])
+
+
 def plan_for(
-    df: DataFrame, group_cols: list[str], rsd: float = 0.05
+    df: DataFrame,
+    group_cols: list[str],
+    rsd: float = 0.05,
+    partitions: int = DEFAULT_PARTITIONS,
 ) -> AggSizing:
     """Estimate the group cardinality of ``df.groupBy(group_cols)``
     and pick the execution profile from the measured regime table —
-    the reference's FM-sizing pattern as a plan-time step."""
-    return decide(estimate_groups(df, group_cols, rsd=rsd))
+    the reference's FM-sizing pattern as a plan-time step. In the
+    no-reduction regime a second, sampled pass estimates the top
+    key's share so the repartition-first rewrite is only chosen when
+    no single reducer would be overloaded (the hh1 hazard)."""
+    est = estimate_groups(df, group_cols, rsd=rsd)
+    top_share = None
+    if est >= WIDE_EXCHANGE_GROUPS:
+        top_share = estimate_top_share(df, group_cols)
+    return decide(est, top_share=top_share, partitions=partitions)
 
 
 @contextmanager

@@ -344,14 +344,18 @@ def render_regroup_probe() -> str:
         f"uniform, Part 2, {data['reps']} timed runs per arm, fresh "
         f"JVM per arm, all arms same session-day).",
         "",
-        "| arm | plan spelling | profile | parts | runs (s) | min |",
-        "|---|---|---|---|---|---|",
+        "| arm | plan spelling | profile | parts | skew "
+        "(hh/p) | runs (s) | min |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, p in data["points"].items():
         runs = " / ".join(f"{r:.1f}" for r in p["runs"])
+        hh = (f"{p.get('hh_groups', 0)}/{p.get('hh_prob', 0.0)}"
+              if p.get("hh_groups") else "uniform")
         lines.append(
             f"| {name} | {p['spelling']} | {p['profile']} "
-            f"| {p['parts_mult']}×cores | {runs} | **{p['min']:.1f}** |"
+            f"| {p['parts_mult']}×cores | {hh} | {runs} "
+            f"| **{p['min']:.1f}** |"
         )
     return "\n".join(lines)
 

@@ -35,13 +35,23 @@ from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent.parent)
 
-#: arm -> (spelling, profile, parts_mult)
-ARMS: dict[str, tuple[str, str, int]] = {
-    "plain_wide4x": ("plain", "wide-exchange", 4),
-    "repart_wide4x": ("repart", "wide-exchange", 4),
-    "repart_default4x": ("repart", "default", 4),
-    "repart_default1x": ("repart", "default", 1),
-    "repart_default8x": ("repart", "default", 8),
+#: arm -> (spelling, profile, parts_mult, hh_groups, hh_prob).
+#: The *_hh arms probe the rewrite's skew hazard: with ≥ O(cores)
+#: hot keys the hot mass spreads across reducers and the rewrite
+#: still wins; with ONE key owning half the rows, the rewrite
+#: funnels 5e8 rows through a single reducer while the default
+#: plan's partial agg crushes the hot key map-side — the sampled
+#: top-share guard in plans/sizing.py exists because of these arms.
+ARMS: dict[str, tuple[str, str, int, int, float]] = {
+    "plain_wide4x": ("plain", "wide-exchange", 4, 0, 0.0),
+    "repart_wide4x": ("repart", "wide-exchange", 4, 0, 0.0),
+    "repart_default4x": ("repart", "default", 4, 0, 0.0),
+    "repart_default1x": ("repart", "default", 1, 0, 0.0),
+    "repart_default8x": ("repart", "default", 8, 0, 0.0),
+    "plain_wide4x_hh100": ("plain", "wide-exchange", 4, 100, 0.5),
+    "repart_default4x_hh100": ("repart", "default", 4, 100, 0.5),
+    "plain_wide4x_hh1": ("plain", "wide-exchange", 4, 1, 0.5),
+    "repart_default4x_hh1": ("repart", "default", 4, 1, 0.5),
 }
 
 _PROG = r"""
@@ -53,6 +63,7 @@ from database_join_spark.session import get_spark
 
 spelling, profile, mult, rows, reps = (
     {spelling!r}, {profile!r}, {mult}, {rows}, {reps})
+hh_groups, hh_prob = {hh_groups}, {hh_prob}
 spark = get_spark(app_name="regroup-probe",
                   profile=None if profile == "default" else profile)
 spark.sparkContext.setLogLevel("ERROR")
@@ -65,10 +76,12 @@ def query(items, orders):
 
 cfg = Q4112Config(inner_tuples=100, outer_tuples=rows,
                   groups=100_000_000, outer_selectivity=1.0,
-                  price_max=50, qty_max=20)
+                  price_max=50, qty_max=20,
+                  hh_groups=hh_groups, hh_prob=hh_prob)
 wcfg = Q4112Config(inner_tuples=100, outer_tuples=rows // 20,
                    groups=5_000_000, outer_selectivity=1.0,
-                   price_max=50, qty_max=20)
+                   price_max=50, qty_max=20,
+                   hh_groups=hh_groups, hh_prob=hh_prob)
 wi, wo = q4112_frames(spark, wcfg, cores * mult)
 query(wi, wo).collect()
 runs, answer = [], None
@@ -83,10 +96,11 @@ spark.stop()
 
 
 def run_arm(name: str, rows: int, reps: int) -> dict:
-    spelling, profile, mult = ARMS[name]
+    spelling, profile, mult, hh_groups, hh_prob = ARMS[name]
     prog = _PROG.format(
         repo=_REPO, spelling=spelling, profile=profile,
         mult=mult, rows=rows, reps=reps,
+        hh_groups=hh_groups, hh_prob=hh_prob,
     )
     proc = subprocess.run(
         [sys.executable, "-c", prog],
@@ -98,7 +112,8 @@ def run_arm(name: str, rows: int, reps: int) -> dict:
             payload = json.loads(line[len("RESULT "):])
             return {
                 "spelling": spelling, "profile": profile,
-                "parts_mult": mult, "runs": payload["runs"],
+                "parts_mult": mult, "hh_groups": hh_groups,
+                "hh_prob": hh_prob, "runs": payload["runs"],
                 "min": min(payload["runs"]), "answer": payload["answer"],
             }
     raise RuntimeError(f"{name} failed:\n{proc.stdout}\n{proc.stderr}")
@@ -123,15 +138,20 @@ def main() -> None:
     else:
         out = {"rows": args.rows, "reps": args.reps,
                "groups": 100_000_000, "points": {}}
-    answers = set()
     for name in args.arms.split(","):
         point = run_arm(name, args.rows, args.reps)
         out["points"][name] = point
-        answers.add(json.dumps(point["answer"], sort_keys=True))
         print(f"# {name}: min {point['min']} s  runs {point['runs']}",
               file=sys.stderr)
-    if len(answers) > 1:
-        raise SystemExit(f"arms disagree on the answer: {answers}")
+    by_cfg: dict[tuple, set] = {}
+    for p in out["points"].values():
+        by_cfg.setdefault(
+            (p.get("hh_groups", 0), p.get("hh_prob", 0.0)), set()).add(
+            json.dumps(p["answer"], sort_keys=True))
+    for cfg_key, answers in by_cfg.items():
+        if len(answers) > 1:
+            raise SystemExit(
+                f"arms disagree on the answer at hh={cfg_key}: {answers}")
     out_path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 

@@ -105,3 +105,51 @@ def test_plan_for_end_to_end_and_applied(spark):
     with applied(spark, decide(1_000_000)) as s:
         assert spark.conf.get(conf) == str(s.capacity_bit) == "20"
     assert spark.conf.get(conf, "16") == before
+
+
+def test_skew_guard_thresholds():
+    """The repartition-first rewrite is guarded by the sampled
+    top-key share (REGROUP_PROBE hh arms): a hot key above the
+    fair-share factor keeps the partial agg + conf fallback; spread
+    hot mass keeps the rewrite."""
+    from database_join_spark.plans.sizing import SKEW_TOP_SHARE_FACTOR
+
+    # hh1 measured hazard: one key owns 50% of rows -> one reducer
+    # would serialize 5e8 rows; keep partial agg, wide-exchange confs
+    s = decide(100_000_000, top_share=0.5, partitions=128)
+    assert s.partial_before_exchange is True
+    assert s.profile == "wide-exchange"
+    # hh100 measured non-hazard: top key owns 0.5% -> spread across
+    # reducers; rewrite stays
+    s = decide(100_000_000, top_share=0.005, partitions=128)
+    assert s.partial_before_exchange is False
+    assert s.profile == "default"
+    # exact boundary: share * partitions == factor is NOT overload
+    boundary = SKEW_TOP_SHARE_FACTOR / 128
+    assert decide(100_000_000, boundary, 128).partial_before_exchange is False
+    assert decide(
+        100_000_000, boundary * 1.01, 128
+    ).partial_before_exchange is True
+    # no skew info -> optimistic rewrite (top_share None)
+    assert decide(100_000_000).partial_before_exchange is False
+    # guard is irrelevant below the regime threshold
+    assert decide(1_000_000, top_share=0.9).partial_before_exchange is True
+    assert decide(1_000_000, top_share=0.9).profile == "default"
+
+
+def test_estimate_top_share_detects_planted_hot_key(spark):
+    """A planted 50%-share key must be visible in the row sample."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.plans.sizing import estimate_top_share
+
+    df = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("g")
+    )
+    share = estimate_top_share(df, ["g"], fraction=0.05)
+    assert share is not None and 0.4 <= share <= 0.6, share
+    flat = spark.range(0, 200_000).select(F.col("id").alias("g"))
+    flat_share = estimate_top_share(flat, ["g"], fraction=0.05)
+    assert flat_share is not None and flat_share < 0.01, flat_share
