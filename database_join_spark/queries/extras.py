@@ -206,6 +206,49 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_groupby_sum(li, ["l_returnflag"], "q", "sum_qty", salts=8)
 
 
+@query(
+    "agg_repartition_first",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total
+    FROM events GROUP BY user_id
+    """,
+    tags=("extras", "agg", "scale"),
+    gated=False,  # new r05; r06 rotation candidate (STATUS.md tracks)
+)
+def agg_repartition_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-reduction-regime aggregate spelling as a gated-surface
+    query: ``repartition(key)`` BEFORE the group-by, so no partial
+    hash map is built pre-exchange and each reducer aggregates all
+    rows of its keys once. Semantically identical to the plain GROUP
+    BY — exactly what the oracle asserts — while the plan carries ONE
+    key exchange of raw rows instead of partial rows.
+
+    Why it exists (REGROUP_PROBE.json, BASELINE.md §repartition-
+    first): at groups ≳ rows-per-task the standard partial aggregate
+    reduces nothing but still pays an ~rows-per-task-entry map build
+    + spill per task; the rewrite was the best measured arm at
+    groups=1e8/1e9 rows, beating round 4's conf-tuned plan on every
+    host state. ``plans/sizing.py decide()`` selects it from a
+    cardinality estimate, with a sampled top-key-share guard (a
+    single hot key must keep the partial-agg plan). Fixture scale is
+    correctness-only; the regime evidence lives in the probe.
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.floor("value").cast("long").alias("v")
+    )
+    return (
+        ev.repartition("user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("total"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # source_synthdocs — custom Python DataSource in the gate
 # --------------------------------------------------------------------------
