@@ -227,7 +227,9 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-def sessionize_stateful(stream: DataFrame) -> DataFrame:
+def sessionize_stateful(
+    stream: DataFrame, ttl_watermark: str | None = None
+) -> DataFrame:
     """Streaming gap-sessionization via ``applyInPandasWithState`` —
     the stateful twin of the batch ``sessionize_events`` query
     (queries/extras.py): per user, events separated by >30 min of
@@ -244,11 +246,23 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
     Every emitted column is MONOTONE within a (user, session_seq)
     key (counts/max grow, min shrinks), so a replayed stream's final
     answer is ``min/max`` over the update-mode sink — that is what
-    the batch-equivalence test aggregates. Production notes: state
-    is O(1) per user; an ``EventTimeTimeout`` would expire idle
-    users' open sessions (emitting their final snapshot) — not used
-    here because the fixture replay ends the query instead.
+    the batch-equivalence test aggregates.
+
+    ``ttl_watermark`` is the 100 TB state-eviction knob (round 5):
+    when set (e.g. ``"1 hour"``), the input is watermarked and the
+    operator uses ``EventTimeTimeout`` — once the watermark passes an
+    idle user's last event + session gap, the open session's FINAL
+    snapshot is emitted and the state is REMOVED. Without it, state
+    is O(1) per user but the user set itself grows unboundedly over
+    a long-lived stream; with it, state size tracks the ACTIVE user
+    set. A user re-appearing after eviction starts at session_seq 1
+    again — the documented trade (matching what any gap-bounded
+    state store can promise); the batch≡stream tests run without TTL
+    so sequence numbers match the unbounded batch recursion, and the
+    eviction contract has its own replay test.
     """
+    if ttl_watermark is not None:
+        stream = stream.withWatermark("ts", ttl_watermark)
 
     def update(
         key: tuple[Any, ...],
@@ -256,6 +270,20 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         # state: (last_e, seq, n, first_ev, last_ev, start_e)
+        if ttl_watermark is not None and state.hasTimedOut:
+            last_e, seq, n, first_ev, last_ev, start_e = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(
+                    int(key[0]), seq, n, first_ev, last_ev,
+                    (last_e - start_e) // 1_000_000,
+                )],
+                columns=[
+                    "user_id", "session_seq", "n_events",
+                    "first_event", "last_event", "duration_sec",
+                ],
+            )
+            return
         if state.exists:
             last_e, seq, n, first_ev, last_ev, start_e = state.get
         else:
@@ -300,6 +328,17 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
             last_e = max(last_e, e)
         out.append(snapshot())  # open session's current snapshot
         state.update((last_e, seq, n, first_ev, last_ev, start_e))
+        if ttl_watermark is not None:
+            # Expire once the watermark passes the open session's
+            # gap horizon. Event-time timeouts must be set strictly
+            # beyond the current watermark — a late batch whose rows
+            # are already behind it would otherwise throw.
+            state.setTimeoutTimestamp(
+                max(
+                    last_e // 1_000 + _SESSION_GAP_US // 1_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(
             out,
             columns=[
@@ -319,7 +358,11 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
             "first_ev BIGINT, last_ev BIGINT, start_e BIGINT"
         ),
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -519,3 +519,78 @@ def test_upsert_sink_with_upstream_dedup_ignores_late_duplicate(
         for r in ST.read_upsert_target(spark, target).collect()
     }
     assert got == {7: (2, 15), 8: (2, 3)}, got
+
+
+def test_sessionize_ttl_evicts_idle_user_state(spark, tmp_path):
+    """100 TB state-eviction contract (round 5): with ttl_watermark
+    set, once the watermark passes an idle user's last event + gap,
+    the open session's final snapshot is emitted via EventTimeTimeout
+    and the state is REMOVED — a later event for that user starts
+    over at session_seq 1 (without eviction it would continue at 2),
+    so a long-lived stream's state tracks the ACTIVE user set."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_ttl")
+    out = str(tmp_path / "out_ttl")
+
+    def write_batch(subdir: str, rows: list[tuple[int, int, str]]) -> None:
+        spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts_s STRING"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(f"{src}/*")
+        q = (
+            ST.sessionize_stateful(stream, ttl_watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn(
+                    "batch_id", F.lit(bid)
+                ).write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    # user 7 opens a session (2 events)
+    write_batch("a", [(1, 7, "2024-01-01 10:00:00"),
+                      (2, 7, "2024-01-01 10:10:00")])
+    run_once()
+    # other-user traffic advances the watermark past 10:40 (last
+    # event + 30 min gap) ...
+    write_batch("b", [(3, 8, "2024-01-01 14:00:00")])
+    run_once()
+    # ... and the NEXT batch fires user 7's timeout: final snapshot
+    # emitted without any user-7 data in the batch, state removed
+    write_batch("b2", [(4, 8, "2024-01-01 14:05:00")])
+    run_once()
+    # user 7 re-appears: fresh state => session_seq restarts at 1
+    write_batch("c", [(5, 7, "2024-01-01 14:30:00")])
+    run_once()
+
+    rows = spark.read.parquet(out).filter(F.col("user_id") == 7).collect()
+    by_batch = sorted(rows, key=lambda r: (r["batch_id"], r["session_seq"]))
+    # a timeout-emitted final snapshot exists in a batch that carried
+    # no user-7 data: session 1 closed with both original events
+    timed_out = [
+        r for r in by_batch
+        if r["n_events"] == 2 and r["first_event"] == 1
+        and r["last_event"] == 2 and r["batch_id"] > 0
+    ]
+    assert timed_out, by_batch
+    # the post-eviction event starts over at seq 1 with fresh stats
+    last = by_batch[-1]
+    assert (
+        last["session_seq"], last["n_events"], last["first_event"]
+    ) == (1, 1, 5), by_batch
