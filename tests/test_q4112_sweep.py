@@ -86,3 +86,22 @@ def test_skew_changes_distribution_not_answer_shape(spark):
     _, orders = q4112_frames(spark, cfg)
     n_stores = orders.select("store_id").distinct().count()
     assert n_stores == 7
+
+
+@pytest.mark.parametrize("cfg", SWEEP, ids=lambda c: (
+    f"i{c.inner_tuples}_o{c.outer_tuples}_s{c.outer_selectivity}"
+    f"_g{c.groups}_hh{c.hh_groups}p{c.hh_prob}"
+))
+def test_part2_repartition_first_matches_oracle(spark, cfg):
+    """The no-reduction-regime rewrite (repartition on the group key
+    before a single post-exchange aggregation, REGROUP_PROBE.json)
+    must be bit-equal to the standard plan on EVERY sweep point —
+    including the heavy-hitter skew configs, where the rewrite is
+    slower (hence sizing's top-share guard) but must stay correct."""
+    from database_join_spark.datagen import part2_query_repartition_first
+
+    items, orders = q4112_frames(spark, cfg)
+    row = part2_query_repartition_first(items, orders, 8).collect()[0]
+    want_avg, want_groups = part2_oracle(cfg)
+    assert row["avg_of_avgs"] == want_avg
+    assert row["n_groups"] == want_groups
