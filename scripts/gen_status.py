@@ -78,7 +78,7 @@ TAIL = """
 | real PNG/WAV codecs (pure stdlib) on binary columns | operators/multimodal.py | encode→decode round-trip + feature extraction |
 | plan assertions (pushdown/pruning/broadcast/codegen) | plans/ | every oracled query cartesian-free + per-query pins |
 | physical-plan audit artifact | scripts/plan_audit.py | PLANS.md |
-| parameterized q4112 generator + numpy oracle | datagen.py | 6-point config sweep (test_q4112_sweep) |
+| parameterized q4112 generator + numpy oracle | datagen.py | 8-point config sweep, both plan spellings (test_q4112_sweep) |
 | operator kernels on arbitrary inputs | operators/dedup.py | hypothesis properties (test_property) |
 | connected components (min-label propagation, leak-free checkpoints) | operators/dedup.py | chain/triangle fixpoint (test_pipeline) |
 | dedup scaling probe (100k→1M docs, ~linear, recall 1.00) | scripts/scale_probe.py | BASELINE.md §scaling |
@@ -87,12 +87,15 @@ TAIL = """
 | avg_int Catalyst session extension (spark.sql.extensions, Java) | java_ext/ | resolved-plan + integer-division oracle (test_java_ext) |
 | out-of-order replay: stateful dedup + upsert sink late duplicates | streaming/ | cross-batch late-dup tests (test_streaming) |
 | ExactSubstr span excision round-trip | queries/pipeline.py | cleaned corpus re-scan yields zero spans (test_pipeline) |
+| repartition-first no-reduction aggregate (plan rewrite + skew guard) | datagen.py + plans/sizing.py | 8-config oracle sweep (test_q4112_sweep) + REGROUP_PROBE.json arms |
+| sessionizer state eviction (EventTimeTimeout TTL) | streaming/ | timeout-fires + seq-restart replay (test_streaming) |
+| bench output-contract smoke (toy-scale subprocess) | bench.py | tests/test_bench_smoke.py |
 """
 
 
 def main() -> None:
     reg = load_all()
-    print("# STATUS — operator coverage matrix (round 4)\n")
+    print("# STATUS — operator coverage matrix (round 5)\n")
     hist = driver_rows()
     print(
         "Generated by `python scripts/gen_status.py`. Every SURVEY §2 id\n"
