@@ -167,26 +167,32 @@ def _throughput(spark) -> dict[str, float]:
     # build (inner/32 ≈ 312k entries per task — the partitioned
     # analogue of the reference's shared table, q4112_hj.c:73-74)
     # measured 2.45 s vs the merge join's 3.92 s at this shape.
+    # try/finally so an exception mid-section can't strand the
+    # bucketed tables in the warehouse/metastore (ADVICE r05).
     spark.sql("DROP TABLE IF EXISTS bench_li_items")
     spark.sql("DROP TABLE IF EXISTS bench_li_orders")
-    items, orders = q4112_frames(spark, li_cfg, 4 * cores)
-    t0 = time.perf_counter()
-    items.write.bucketBy(cores, "id").sortBy("id").mode(
-        "overwrite"
-    ).saveAsTable("bench_li_items")
-    orders.write.bucketBy(cores, "item_id").sortBy("item_id").mode(
-        "overwrite"
-    ).saveAsTable("bench_li_orders")
-    build_sec = time.perf_counter() - t0
-    runs = []
-    for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
-        bi = spark.table("bench_li_items")
-        bo = spark.table("bench_li_orders")
+    try:
+        items, orders = q4112_frames(spark, li_cfg, 4 * cores)
         t0 = time.perf_counter()
-        bo.join(bi.hint("shuffle_hash"), bi.id == bo.item_id).agg(
-            F.expr("sum(price * quantity) DIV count(*)").alias("avg_val")
-        ).collect()
-        runs.append(time.perf_counter() - t0)
+        items.write.bucketBy(cores, "id").sortBy("id").mode(
+            "overwrite"
+        ).saveAsTable("bench_li_items")
+        orders.write.bucketBy(cores, "item_id").sortBy("item_id").mode(
+            "overwrite"
+        ).saveAsTable("bench_li_orders")
+        build_sec = time.perf_counter() - t0
+        runs = []
+        for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
+            bi = spark.table("bench_li_items")
+            bo = spark.table("bench_li_orders")
+            t0 = time.perf_counter()
+            bo.join(bi.hint("shuffle_hash"), bi.id == bo.item_id).agg(
+                F.expr("sum(price * quantity) DIV count(*)").alias("avg_val")
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_li_items")
+        spark.sql("DROP TABLE IF EXISTS bench_li_orders")
     timed = runs[1:]
     sec = min(timed)
     out["large_inner_bucketed_sec"] = round(sec, 4)
@@ -195,8 +201,6 @@ def _throughput(spark) -> dict[str, float]:
     out["large_inner_bucketed_gtuples_per_sec"] = round(
         li_cfg.outer_tuples / sec / 1e9, 4
     )
-    spark.sql("DROP TABLE IF EXISTS bench_li_items")
-    spark.sql("DROP TABLE IF EXISTS bench_li_orders")
     print(
         f"# large_inner_bucketed: {sec:.2f} s {runs} "
         f"(one-time bucketed build {build_sec:.1f} s)",

@@ -143,9 +143,15 @@ def decide(
             # (hh1 arms, REGROUP_PROBE.json): keep the partial agg —
             # it absorbs the hot key map-side — and fall back to the
             # conf-only mitigation for the residual wide exchange.
+            # Fast-map bit stays at the MEASURED hand-best for this
+            # conf-only regime — the r04 matrix's g1e8 winner ran bit
+            # 16 (scripts/sizing_probe.py REGIMES g1e8); bit 20 here
+            # was an unmeasured extrapolation (ADVICE r05). At ≥1e7
+            # groups no fast map covers the key set either way; the
+            # map only absorbs the hot key itself, which bit 16 does.
             return AggSizing(
                 est,
-                FAST_MAP_MAX_BIT,
+                FAST_MAP_MIN_BIT,
                 4,
                 "wide-exchange",
                 partial_before_exchange=True,

@@ -156,13 +156,45 @@ def get_spark(
     so callers wanting the profile must hold no live session —
     enforced below: a pre-existing session whose confs don't already
     match the profile raises rather than silently mislabeling results
-    as tuned (ADVICE r04).
+    as tuned (ADVICE r04). The guard is bidirectional since round 6:
+    requesting the DEFAULT profile while a wide-exchange session is
+    live also raises (ADVICE r05) — either direction silently hands
+    back a session whose confs contradict the label the caller will
+    put on its measurements. ``profile="default"`` is accepted as an
+    alias for ``None`` so ``get_spark(profile=sizing.profile)`` works
+    for both values :func:`plans.sizing.decide` emits.
     """
+    if profile == "default":
+        # plans/sizing.py emits "default" | "wide-exchange"; callers
+        # pass sizing.profile straight through.
+        profile = None
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     default_mem = "48g" if profile == "wide-exchange" else "8g"
+
+    if profile is None:
+        # Mirror of the wide-exchange guard below (ADVICE r05): a
+        # DEFAULT/untuned session requested while a tuned one is live
+        # would silently hand back the zstd/1m-buffer session, and the
+        # caller would label its measurements "untuned". Same failure
+        # mode, opposite direction — raise, don't mislabel. (Probe
+        # scripts never hit this: each arm is a fresh JVM.)
+        live = SparkSession.getActiveSession()
+        if live is not None:
+            tuned = {
+                key: value
+                for key, value in WIDE_EXCHANGE_CONFS.items()
+                if live.conf.get(key, None) == value
+            }
+            if tuned:
+                raise RuntimeError(
+                    "get_spark() (default profile) found a live session "
+                    f"carrying wide-exchange confs ({tuned}); results "
+                    "would be mislabeled as untuned — stop it first or "
+                    "run the workload in a fresh process"
+                )
 
     if profile == "wide-exchange":
         live = SparkSession.getActiveSession()

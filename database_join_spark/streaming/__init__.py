@@ -255,11 +255,25 @@ def sessionize_stateful(
     snapshot is emitted and the state is REMOVED. Without it, state
     is O(1) per user but the user set itself grows unboundedly over
     a long-lived stream; with it, state size tracks the ACTIVE user
-    set. A user re-appearing after eviction starts at session_seq 1
-    again — the documented trade (matching what any gap-bounded
-    state store can promise); the batch≡stream tests run without TTL
-    so sequence numbers match the unbounded batch recursion, and the
-    eviction contract has its own replay test.
+    set. Two documented trades come with the knob (ADVICE r05):
+
+    * A user re-appearing after eviction starts at session_seq 1
+      again — matching what any gap-bounded state store can promise.
+    * Rows BEHIND the watermark are dropped before they reach the
+      update function (standard Structured Streaming semantics for a
+      watermarked stateful operator), so the no-TTL contract that a
+      cross-batch late event folds into the open session
+      (test_stateful_sessionize_late_event_does_not_regress_cursor)
+      does NOT carry over: in TTL mode, lateness beyond the
+      watermark delay loses the event entirely. Pick
+      ``ttl_watermark`` at least as large as the worst replay lag
+      the source can produce.
+
+    The batch≡stream tests run without TTL so sequence numbers match
+    the unbounded batch recursion; the eviction contract and the
+    late-row drop each have their own replay test
+    (test_sessionize_ttl_evicts_idle_user_state,
+    test_sessionize_ttl_drops_rows_behind_watermark).
     """
     if ttl_watermark is not None:
         stream = stream.withWatermark("ts", ttl_watermark)

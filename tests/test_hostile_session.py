@@ -104,3 +104,39 @@ def test_wide_exchange_profile_refuses_live_untuned_session(spark):
     assert spark.conf.get("spark.io.compression.codec", None) != "zstd"
     with pytest.raises(RuntimeError, match="already active without"):
         get_spark(profile="wide-exchange")
+
+
+def test_default_profile_refuses_live_tuned_session(monkeypatch):
+    """ADVICE r05 — the mirror direction: requesting the DEFAULT
+    profile while a wide-exchange session is live must raise, not
+    silently hand back the tuned session (a probe's 'untuned' arm
+    would then run with zstd/1m buffers). A tuned live session can't
+    be built inside the shared test JVM, so the guard is exercised
+    against a stub session that reports the profile confs."""
+    from pyspark.sql import SparkSession
+
+    from database_join_spark.session import WIDE_EXCHANGE_CONFS, get_spark
+
+    class _Conf:
+        def get(self, key, default=None):
+            return WIDE_EXCHANGE_CONFS.get(key, default)
+
+    class _TunedSession:
+        conf = _Conf()
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(lambda: _TunedSession())
+    )
+    with pytest.raises(RuntimeError, match="mislabeled as untuned"):
+        get_spark()
+    with pytest.raises(RuntimeError, match="mislabeled as untuned"):
+        get_spark(profile="default")  # sizing.profile spelling
+
+
+def test_default_profile_alias(spark):
+    """get_spark(profile='default') is the documented sizing.profile
+    contract (plans/sizing.py) — it must behave exactly like
+    profile=None, returning the live untuned session."""
+    from database_join_spark.session import get_spark
+
+    assert get_spark(profile="default") is spark

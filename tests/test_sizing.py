@@ -119,6 +119,11 @@ def test_skew_guard_thresholds():
     s = decide(100_000_000, top_share=0.5, partitions=128)
     assert s.partial_before_exchange is True
     assert s.profile == "wide-exchange"
+    # ADVICE r05: the conf-only fallback runs the MEASURED hand-best
+    # config (sizing_probe g1e8 arm: bit 16), not an extrapolated 2^20
+    from database_join_spark.plans.sizing import FAST_MAP_MIN_BIT
+
+    assert s.capacity_bit == FAST_MAP_MIN_BIT
     # hh100 measured non-hazard: top key owns 0.5% -> spread across
     # reducers; rewrite stays
     s = decide(100_000_000, top_share=0.005, partitions=128)

@@ -594,3 +594,65 @@ def test_sessionize_ttl_evicts_idle_user_state(spark, tmp_path):
     assert (
         last["session_seq"], last["n_events"], last["first_event"]
     ) == (1, 1, 5), by_batch
+
+
+def test_sessionize_ttl_drops_rows_behind_watermark(spark, tmp_path):
+    """The OTHER ttl_watermark trade (ADVICE r05): with the input
+    watermarked, a cross-batch row whose event time is behind the
+    watermark is dropped BEFORE it reaches the update function —
+    the no-TTL late-event contract (the 10:05 row folding into the
+    open session in test_stateful_sessionize_late_event_does_not_
+    regress_cursor) does not carry over to TTL mode. Here the same
+    late-arrival shape loses the event: no user-7 snapshot ever
+    counts it."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "ttl_late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_ttl_late")
+    out = str(tmp_path / "out_ttl_late")
+
+    def write_batch(subdir: str, rows: list[tuple[int, int, str]]) -> None:
+        spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts_s STRING"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(f"{src}/*")
+        q = (
+            ST.sessionize_stateful(stream, ttl_watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    # batch 1: user 7 opens a session; user-8 traffic at 12:00 puts
+    # the post-batch watermark at 11:00 (max event time - 1h TTL)
+    write_batch("a", [(1, 7, "2024-01-01 10:00:00"),
+                      (2, 7, "2024-01-01 10:20:00"),
+                      (3, 8, "2024-01-01 12:00:00")])
+    run_once()
+    # batch 2: event 4 at 10:05 is behind the 11:00 watermark — in
+    # no-TTL mode it would fold into user 7's open session (n -> 3);
+    # in TTL mode Structured Streaming drops it pre-operator
+    write_batch("b", [(4, 7, "2024-01-01 10:05:00")])
+    run_once()
+
+    u7 = spark.read.parquet(out).filter(F.col("user_id") == 7).collect()
+    assert u7, "user 7 produced no snapshots at all"
+    # the late event never appears in any snapshot: every user-7 row
+    # carries only the two in-order events
+    assert all(r["n_events"] <= 2 for r in u7), u7
+    assert all(r["last_event"] != 4 and r["first_event"] != 4 for r in u7), u7
