@@ -39,20 +39,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     The driver gates at most 50 ids per round (CORRECTNESS_r01 cut the
-    then-60-entry registry at exactly 50 rows); the registry therefore
-    marks exactly 50 queries ``gated``, rotated each round (VERDICT
-    r02 #6, r03 #4, r04 #1) so every oracled id earns a driver
-    CORRECTNESS row across rounds. Round-5 rotation: the 33 SURVEY §2
-    ids are retained permanently; the 17 free slots carry
-    decontam_minhash (the one id with no driver row at all) plus the
-    ids whose only row is r01 — agg_salted, pivot_wide,
-    higher_order_funcs, udtf_surface, source_synthdocs,
-    window_distribution, dedup_embed_cosine, dedup_ngram_jaccard,
-    dedup_exact_survivors, text_langid, text_quality — and the
-    no-oracle ids needing a clean rows-only row: dedup_simhash,
-    simsearch_lsh, simsearch_ivf, text_winnow, agg_quantile_approx
-    (supersedes its r01 error; see STATUS.md validation column).
-    Everything rotated out holds a green r04 row and stays
+    then-60-entry registry at exactly 50 rows); exactly 50 queries are
+    ``gated``, rotated each round (VERDICT r02 #6, r03 #4, r04 #1,
+    r05 #1) so every oracled id earns a driver CORRECTNESS row across
+    rounds. Since round 6 the rotation is a single table —
+    ``database_join_spark.queries.DRIVER_GATE`` — instead of a flag on
+    every ``@query`` call site; see its docstring for this round's
+    composition (first rows for the r05/r06-born ids + every id whose
+    newest driver row was r02/r03 + the 13-id SURVEY §2 headline set).
+    Everything rotated out holds a green r04-or-newer row and stays
     hash-compared by the identical check in pytest
     (tests/test_oracle_parity.py runs gated and ungated alike).
     """

@@ -36,15 +36,69 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: THE driver-gate rotation table — the single source of truth for
+#: which ≤50 registry ids ship to the correctness driver this round
+#: (``__spark_entry__.queries()``). Until round 5 the flag lived on
+#: each of the 100+ ``@query(...)`` call sites, which made every
+#: rotation a 30-file-location diff that had to be counted by hand;
+#: since round 6 the per-site flag is gone and ``load_all`` applies
+#: membership in this set. History per id stays in STATUS.md
+#: (generated from the committed CORRECTNESS artifacts).
+#:
+#: Round-6 rotation (VERDICT r05 #1): every id whose newest driver
+#: row was r02 or r03 gets a fresh slot, plus first rows for the
+#: three r05-born ids and the r06-born ``agg_avg_int_ext``; the
+#: 13 retained SURVEY §2 headline/bench ids keep their streak.
+#: After this round no registry id's newest driver row is older
+#: than r04.
+DRIVER_GATE: frozenset[str] = frozenset({
+    # -- first driver rows: born r05 (VERDICT r05 #1) + born r06 (#8)
+    "agg_repartition_first",
+    "dedup_substring_apply",
+    "quality_gopher_rules",
+    "agg_avg_int_ext",
+    # -- newest row r02: tpch cohort + udf/stream/asof tail
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19",
+    "udf_grouped", "udf_grouped_agg", "stream_sliding",
+    "join_asof_bucketed", "multimodal_features",
+    # -- newest row r03: remaining tpch + the r03 pipeline cohort
+    "tpch_q8", "tpch_q13", "tpch_q17", "tpch_q21", "tpch_q22",
+    "corpus_clean", "corpus_mix", "decontam_ngram", "dedup_clusters",
+    "dedup_first_event", "dedup_incremental", "embed_quantize",
+    "pack_sequences", "pii_scrub", "quality_repetition",
+    "sample_stratified", "tfidf_terms",
+    # -- SURVEY §2 headline set (all hold r01–r05 green streaks;
+    #    kept gated so the flagship/bench surface is re-proven under
+    #    the driver every round)
+    "scan_columnar", "join_hash_single", "join_hash_multi",
+    "join_broadcast", "join_sortmerge", "agg_scalar_avg",
+    "agg_groupby_avg", "agg_avg_of_avgs", "dedup_exact",
+    "dedup_minhash", "simsearch_embed", "text_analysis",
+    "stream_tumbling",
+})
+
+#: The driver caps CORRECTNESS at 50 rows (CORRECTNESS_r01 cut the
+#: then-60-entry registry at exactly 50); oversubscribing would
+#: silently drop the tail, so the cap is enforced at import.
+_GATE_CAP = 50
+if len(DRIVER_GATE) > _GATE_CAP:
+    raise ValueError(
+        f"DRIVER_GATE holds {len(DRIVER_GATE)} ids; driver cap is "
+        f"{_GATE_CAP} — rotate something out"
+    )
+
 
 def query(
     name: str,
     oracle: str | None = None,
     bench: bool = False,
     tags: tuple[str, ...] = (),
-    gated: bool = True,
 ):
-    """Register a query implementation under a SURVEY §2 query id."""
+    """Register a query implementation under a SURVEY §2 query id.
+
+    Gate membership is NOT declared here — see :data:`DRIVER_GATE`.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
@@ -56,7 +110,7 @@ def query(
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
             tags=tags,
-            gated=gated,
+            gated=name in DRIVER_GATE,
         )
         return fn
 
@@ -74,4 +128,9 @@ def load_all() -> dict[str, QuerySpec]:
         tpch,
     )
 
+    # A gate entry naming a nonexistent id is a rotation typo that
+    # would silently shrink the driver gate below 50 — fail loudly.
+    unknown = DRIVER_GATE - REGISTRY.keys()
+    if unknown:
+        raise ValueError(f"DRIVER_GATE names unknown ids: {sorted(unknown)}")
     return REGISTRY

@@ -69,7 +69,6 @@ _ASOF_ARGS = dict(
     # rotated out of the 50-slot driver gate (green r01 row; the
     # bucketed scale variant below holds the gated slot, and pytest
     # hash-parity still runs the identical check here)
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
     oracle=_ASOF_ORACLE,
     tags=("extras", "join"),
 )
@@ -93,7 +92,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("join_asof_bucketed", oracle=_ASOF_ORACLE, tags=("extras", "join"),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, time-bucketed strategy — the 100 TB path promised
@@ -135,7 +133,6 @@ def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     tags=("extras",),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event counts into one column per event type, plus a
@@ -185,7 +182,6 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("extras", "skew"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted SUM grouped by a 3-value (maximally skewed)
@@ -215,7 +211,6 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     tags=("extras", "agg", "scale"),
-    gated=False,  # new r05; r06 rotation candidate (STATUS.md tracks)
 )
 def agg_repartition_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The no-reduction-regime aggregate spelling as a gated-surface
@@ -250,6 +245,53 @@ def agg_repartition_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# agg_avg_int_ext — the avg_int Catalyst session extension, end-to-end
+# --------------------------------------------------------------------------
+@query(
+    "agg_avg_int_ext",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS avg_extprice,
+           COUNT(*) AS cnt
+    FROM lineitem
+    """,
+    tags=("extras", "agg", "extension"),
+)
+def agg_avg_int_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``agg_scalar_avg``'s twin spelled through the ``avg_int``
+    Catalyst extension (java_ext/src/AvgIntExtensions.java): the
+    function resolves to ``sum(x) DIV count(x)`` at analysis time —
+    the reference's integer-average contract (``q4112.c:300-334``) —
+    and shares agg_scalar_avg's DuckDB oracle, so a green driver row
+    proves the extension end-to-end under a harness-owned session
+    (VERDICT r05 #8), not just under pytest's subprocess test.
+
+    The session the driver hands us was built without
+    ``spark.sql.extensions``, so the function is registered at
+    runtime on the live FunctionRegistry
+    (:func:`database_join_spark.functions.ext.install_avg_int`) —
+    sound because ``avg_int`` leaves only built-in Sum/Count/
+    IntegralDivide in the resolved plan (nothing extension-side ever
+    reaches an executor). The argument is pre-cast to BIGINT so
+    Count(child) counts exactly the rows COUNT(*) does (column is
+    NOT NULL in the fixtures) and Sum carries the integer type.
+    """
+    from database_join_spark.functions.ext import install_avg_int
+
+    configure_session(spark)
+    install_avg_int(spark)
+    table(spark, sf_dir, "lineitem").select(
+        F.floor("l_extendedprice").cast("long").alias("p")
+    ).createOrReplaceTempView("avg_int_ext_lineitem")
+    return spark.sql(
+        """
+        SELECT avg_int(p) AS avg_extprice, count(*) AS cnt
+        FROM avg_int_ext_lineitem
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # source_synthdocs — custom Python DataSource in the gate
 # --------------------------------------------------------------------------
 @query(
@@ -261,7 +303,6 @@ def agg_repartition_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM range(0, 2000) GROUP BY 1
     """,
     tags=("extras", "source"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read through the custom Python DataSource (sources/synthdocs)
@@ -290,7 +331,6 @@ def source_synthdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "agg_quantile_exact",
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS q25,
@@ -321,7 +361,6 @@ def agg_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("agg_quantile_approx", tags=("extras", "agg", "no-oracle"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald–Khanna sketch) per group —
@@ -384,7 +423,6 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc GROUP BY lang
     """,
     tags=("extras", "functions"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: filter / exists / aggregate over
@@ -437,7 +475,6 @@ def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY s_acctbal DESC, s_suppkey)
     """,
     tags=("extras", "window"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile / rank / percent_rank /
@@ -481,7 +518,6 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 5
     """,
     tags=("extras", "udf"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: explode each document into (token, count) rows for
@@ -552,7 +588,6 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
     FROM sess GROUP BY user_id, session_seq
     """,
     tags=("extras", "window", "sessionization"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: assign each user's events to sessions
@@ -635,7 +670,6 @@ def sessionize_frame(ev: DataFrame) -> DataFrame:
       (SELECT COUNT(*) FROM s3 WHERE t3 IS NOT NULL) AS n_then_purchase
     """,
     tags=("extras", "agg", "funnel"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase: users
@@ -711,7 +745,6 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM firsts GROUP BY cohort_day, day_offset
     """,
     tags=("extras", "agg", "retention"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by their first-activity day
@@ -771,7 +804,6 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM outliers GROUP BY event_type
     """,
     tags=("extras", "agg", "quality"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outlier detection (|value − μ| > 3σ) with
@@ -863,7 +895,6 @@ _HH_TRACKED = 100_000
     LIMIT {_HH_K}
     """.format(T_DUCK=TOKENS_DUCK.format(c="text")),
     tags=("extras", "agg", "sketch"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch over the corpus token stream via
@@ -919,7 +950,6 @@ def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "distinct_hll_sketch",
     tags=("extras", "agg", "sketch", "no-oracle"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def distinct_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-event-type HLL sketches

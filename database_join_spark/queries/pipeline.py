@@ -100,7 +100,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang, source
     """,
     tags=("pipeline", "dedup"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving-row counts per (lang, source) after exact dedup.
@@ -142,7 +141,6 @@ _SH_DUCK = D.shingles_duck("text", SHINGLE_N)
           >= {JACCARD_THRESHOLD}
     """,
     tags=("pipeline", "dedup"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force n-gram Jaccard near-dup pairs (exact baseline).
@@ -209,7 +207,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
@@ -299,7 +296,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     tags=("pipeline", "dedup", "no-oracle"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, chunk-bucketed
@@ -437,7 +433,6 @@ def simsearch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simsearch_lsh",
     tags=("pipeline", "similarity", "no-oracle"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN cosine top-k via multi-table random-hyperplane LSH.
@@ -461,7 +456,6 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simsearch_ivf",
     tags=("pipeline", "similarity", "no-oracle"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN cosine top-k via IVF: seeded KMeans cells, n_probe=4 of 16.
@@ -487,7 +481,6 @@ _COS_DUP_THRESHOLD = 0.4
 
 @query(
     "dedup_embed_cosine",
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
     oracle=f"""
     WITH v AS (
       SELECT vec_id, label, embedding,
@@ -593,7 +586,6 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_langid",
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
     oracle=f"""
     SELECT lang, {T.predicted_lang_duck("text")} AS predicted,
            COUNT(*) AS n
@@ -622,7 +614,6 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "text_quality",
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
     oracle=f"""
     WITH per_doc AS (
       SELECT source,
@@ -721,7 +712,6 @@ _GR_MIN_WLEN, _GR_MAX_WLEN = 4, 10  # mean word length bounds
     FROM f GROUP BY source
     """,
     tags=("pipeline", "text", "quality"),
-    gated=False,  # new r05; r06 rotation candidate (STATUS.md tracks)
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based document filtering in the style of the published
@@ -798,7 +788,6 @@ quality_gopher_rules.__doc__ = quality_gopher_rules.__doc__.format(
 @query(
     "text_winnow",
     tags=("pipeline", "text", "dedup", "no-oracle"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnowed rolling-hash fingerprint overlap.
@@ -894,7 +883,6 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("pipeline", "multimodal"),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over opaque binary payloads — now decoding
@@ -966,7 +954,6 @@ _NTOK_DUCK = f"len({T.TOKENS_DUCK.format(c='text')})"
     FROM kept GROUP BY lang
     """,
     tags=("pipeline", "dedup", "text"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning: quality gate → exact dedup
@@ -1054,7 +1041,6 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source, fp FROM r WHERE rn = 1
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: admit only new-batch docs that are novel
@@ -1110,7 +1096,6 @@ _Q8_DUCK = (
     FROM q
     """,
     tags=("pipeline", "similarity"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-embedding int8 quantization + exact fixed-point norm stats
@@ -1164,7 +1149,6 @@ _VOCAB_K = 50
     LIMIT {_VOCAB_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-{k} tokens by frequency — the counting
@@ -1210,7 +1194,6 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT {_VOCAB_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair frequency count — the inner loop of BPE
@@ -1271,7 +1254,6 @@ _DECON_MOD = 37  # doc_id % 37 == 0 marks the held-out "benchmark" split
     GROUP BY doc_id
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag corpus documents sharing any
@@ -1341,7 +1323,6 @@ def _bloom_pos(col: str):
     GROUP BY doc_id
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with a Bloom-filter pre-pass: same contract as
@@ -1442,7 +1423,6 @@ def _bloom_survivor_counts(spark: SparkSession, sf_dir: str):
 @query(
     "decontam_minhash",
     tags=("pipeline", "dedup", "no-oracle"),
-    gated=True,  # gated r05 (first driver row / rotation, VERDICT r04 #1)
 )
 def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate decontamination: flag corpus documents that are
@@ -1581,7 +1561,6 @@ _PII_SUFFIX_DUCK = (
     FROM scrub GROUP BY source
     """,
     tags=("pipeline", "text"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: detect and redact emails / IPv4s / phone
@@ -1661,7 +1640,6 @@ def _sample_case(dialect_str_cast: str) -> str:
     FROM documents GROUP BY lang
     """,
     tags=("pipeline", "sampling"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus downsampling: per-language target rates
@@ -1719,7 +1697,6 @@ _REP_K = 20
     LIMIT {_REP_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality scoring (the Gopher/MassiveText rule
@@ -1795,7 +1772,6 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
     FROM cum GROUP BY lang, seq_id
     """,
     tags=("pipeline", "sampling"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents (per language, in doc_id
@@ -1908,7 +1884,6 @@ _MIX_COIN_DUCK = _mix_coin("VARCHAR", "CAST(('0x' || {h}) AS BIGINT)")
     GROUP BY d.source
     """,
     tags=("pipeline", "sampling"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture reweighting: hit target per-source weights by
@@ -1988,7 +1963,6 @@ _TFIDF_K = 5
     FROM scored WHERE rn <= {_TFIDF_K}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k distinguishing terms per source by TF-IDF — the corpus
@@ -2059,7 +2033,6 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks GROUP BY bucket_bits
     """,
     tags=("pipeline", "text"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document token-length histogram in power-of-two buckets — the
@@ -2104,7 +2077,6 @@ def seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     tags=("pipeline", "dedup", "streaming"),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-arrival dedup per (user, event type): the batch twin of
@@ -2202,7 +2174,6 @@ _SUBSTR_K = 8  # token span width (public ExactSubstr uses ~50; 8 fits fixtures)
     FROM isl GROUP BY doc_id, island
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document EXACT substring dedup, the publicly documented
@@ -2344,7 +2315,6 @@ def substring_spans_frame(docs: DataFrame) -> DataFrame:
     FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
     """,
     tags=("pipeline", "dedup"),
-    gated=False,  # new r05; r06 rotation candidate (STATUS.md tracks)
 )
 def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr excision — the step that makes :func:`dedup_substring`
@@ -2429,7 +2399,6 @@ _SPLIT_MIX = 2654435761  # Knuth multiplicative constant (public)
     FROM b GROUP BY 1
     """,
     tags=("pipeline", "sampling"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by key mixing —
@@ -2497,7 +2466,6 @@ _NGRAM_MIN_FREQ = 5  # tail cutoff; keeps output vocabulary-, not corpus-sized
     FROM g GROUP BY n, ngram HAVING COUNT(*) >= {_NGRAM_MIN_FREQ}
     """,
     tags=("pipeline", "text"),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram frequency table (bigrams + trigrams, multiset

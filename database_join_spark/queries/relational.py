@@ -262,7 +262,6 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part JOIN bands ON p_size >= lo AND p_size < hi
     GROUP BY size_class
     """,
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The band join rewritten as an O(n) binning projection — the

@@ -105,7 +105,6 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("streaming",),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows: 1-day length, 12-hour slide (each event in 2
@@ -263,7 +262,6 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "udf"),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (a UDAF): token-weighted average
@@ -311,7 +309,6 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "udf"),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas``: per-language median length.
@@ -359,7 +356,6 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
     tags=("streaming",),
-    gated=False,  # rotated out r05 (green r04 row; pytest hash-compares)
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase→click attribution: each purchase joined to the same

@@ -92,7 +92,6 @@ _ISUM_DUCK = (
     """,
     bench=True,
     tags=("tpch",),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 pricing summary: one scan, pushed date filter, wide
@@ -148,7 +147,6 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bench=True,
     tags=("tpch",),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shipping priority: selective dimension filter → 3-way join
@@ -198,7 +196,6 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     tags=("tpch",),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: scan + three-way conjunctive filter + scalar aggregate.
@@ -250,7 +247,6 @@ _Q18_QTY = 120
     LIMIT 20
     """,
     tags=("tpch",),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18: aggregate-derived semi-join (HAVING subquery) feeding a
@@ -313,7 +309,6 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bench=True,
     tags=("tpch",),
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local-supplier volume: 6-table snowflake join with the
@@ -379,7 +374,6 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("tpch",),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 order-priority checking: correlated EXISTS over the fact
@@ -444,7 +438,6 @@ _Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
     """,
     tags=("tpch",),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 volume shipping: the two-role dimension query — nation
@@ -515,7 +508,6 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("tpch",),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 returned items: selective filters on BOTH fact tables
@@ -574,7 +566,6 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("tpch",),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 promotion effect: one month of lineitem joined to part,
@@ -631,7 +622,6 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("tpch",),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 top supplier: a derived revenue view consumed twice — once
@@ -683,7 +673,6 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("tpch",),
     # gated: promoted into the 50-slot driver gate in round 2,
-    gated=False,  # rotated out of the 50-slot gate r03 (green r02 row; pytest hash-compares)
 )
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 discounted revenue: a disjunction of three conjunctive
@@ -762,7 +751,6 @@ _DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
     GROUP BY o_year
     """,
     tags=("tpch",),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 national market share: the deepest fixture join (7 tables,
@@ -851,7 +839,6 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     """,
     tags=("tpch",),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 customer distribution: LEFT OUTER join with the filter ON
@@ -904,7 +891,6 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < qty_limit
     """,
     tags=("tpch",),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity-order revenue: the correlated scalar
@@ -973,7 +959,6 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     """,
     tags=("tpch",),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting: the sole-blame shape —
@@ -1061,7 +1046,6 @@ _Q22_NATIONS = "(1, 3, 5, 7, 9, 11, 13)"
     GROUP BY c_nationkey
     """,
     tags=("tpch",),
-    gated=False,  # rotated out r04 (green r02/r03 row; pytest hash-compares)
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 global sales opportunity: rich-but-idle customers — above

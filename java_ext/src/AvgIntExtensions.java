@@ -53,6 +53,27 @@ public class AvgIntExtensions implements SparkSessionExtensionsProvider {
             new Count(one(child)).toAggregateExpression());
     }
 
+    /**
+     * Runtime installation for sessions built WITHOUT the extension
+     * conf (e.g. a harness-owned SparkSession): registers the same
+     * builder directly on the live session's FunctionRegistry.
+     * Legitimate because `avg_int` is ANALYSIS-TIME only — the
+     * resolved plan contains nothing but built-in Sum/Count/
+     * IntegralDivide, so executors never need this class and the
+     * jar can be loaded driver-side through any classloader
+     * (queries/extras.py loads it via URLClassLoader + reflection).
+     * Idempotent: re-registering overwrites with the same builder.
+     */
+    public static void install(org.apache.spark.sql.SparkSession session) {
+        Function1<Seq<Expression>, Expression> builder =
+            AvgIntExtensions::build;
+        session.sessionState().functionRegistry().registerFunction(
+            new FunctionIdentifier("avg_int"),
+            new ExpressionInfo(
+                AvgIntExtensions.class.getName(), "avg_int"),
+            builder);
+    }
+
     @Override
     public BoxedUnit apply(SparkSessionExtensions extensions) {
         Function1<Seq<Expression>, Expression> builder =
