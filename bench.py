@@ -268,6 +268,73 @@ def _throughput(spark) -> dict[str, float]:
         f"estimate {est_sec:.1f} s)",
         file=sys.stderr,
     )
+
+    # No-reduction regime (round 6, VERDICT r05 #3): groups = 1e8
+    # uniform at 1e9 rows — the regime where the pre-exchange partial
+    # aggregate reduces nothing and the repartition-first rewrite is
+    # the measured winner (REGROUP_PROBE.json; reference @16T shape:
+    # 7.64 s). Promoted from probe artifact to tracked row so the
+    # decision loop runs END-TO-END every round: the HLL estimate +
+    # sampled top-share guard pick the plan spelling, and the PICKED
+    # plan is what gets timed — a sizing regression shows up here,
+    # not only in the probe. 2 timed runs (~40 s each; the
+    # round-over-round signal is the ×-level ratio).
+    from database_join_spark.datagen import part2_query_repartition_first
+
+    nr_cfg = Q4112Config(
+        inner_tuples=100,
+        outer_tuples=THROUGHPUT_ROWS,
+        # clamp for toy-scale smoke runs (datagen asserts groups ≤ rows)
+        groups=min(100_000_000, THROUGHPUT_ROWS),
+        outer_selectivity=1.0,
+        price_max=50,
+        qty_max=20,
+    )
+    items, orders = q4112_frames(spark, nr_cfg, cores)
+    t0 = time.perf_counter()
+    nr_sizing = plan_for(orders, ["store_id"])
+    nr_est_sec = time.perf_counter() - t0
+    nr_parts = nr_sizing.tasks(cores)
+    out["part2_groups1e8_sizing"] = {
+        "est_groups": nr_sizing.est_groups,
+        "capacity_bit": nr_sizing.capacity_bit,
+        "tasks_per_core": nr_sizing.tasks_per_core,
+        "profile": nr_sizing.profile,
+        "repartition_first": not nr_sizing.partial_before_exchange,
+        "estimate_sec": round(nr_est_sec, 2),
+        # the profile is build-time; this (shared) bench session is
+        # the default/untuned build, so a wide-exchange decision
+        # would run its conf-only parts (bit + tasks) only
+        "profile_applied": nr_sizing.profile == "default",
+    }
+
+    def _nr_query():
+        items, orders = q4112_frames(spark, nr_cfg, nr_parts)
+        if nr_sizing.partial_before_exchange:
+            return part2_query(items, orders)
+        return part2_query_repartition_first(items, orders, nr_parts)
+
+    runs = []
+    with applied(spark, nr_sizing):
+        for _ in range(3):  # first = warm-up, 2 timed
+            t0 = time.perf_counter()
+            _nr_query().collect()
+            runs.append(time.perf_counter() - t0)
+    timed = runs[1:]
+    sec = min(timed)
+    out["part2_groups1e8_sec"] = round(sec, 4)
+    out["part2_groups1e8_runs"] = [round(r, 4) for r in timed]
+    out["part2_groups1e8_gtuples_per_sec"] = round(
+        THROUGHPUT_ROWS / sec / 1e9, 4
+    )
+    print(
+        f"# part2_groups1e8: {sec:.2f} s {runs} "
+        f"(sizing: est={nr_sizing.est_groups} "
+        f"repartition_first={not nr_sizing.partial_before_exchange} "
+        f"bit={nr_sizing.capacity_bit} tasks={nr_parts} "
+        f"profile={nr_sizing.profile}, estimate {nr_est_sec:.1f} s)",
+        file=sys.stderr,
+    )
     return out
 
 

@@ -67,6 +67,8 @@ def test_bench_emits_one_valid_slim_json_line(tmp_path):
         "q4112_part2_sec",
         "part2_groups1e6_sec",
         "part2_groups1e6_sizing",
+        "part2_groups1e8_sec",
+        "part2_groups1e8_sizing",
         "large_inner_sec",
         "large_inner_bucketed_sec",
         "large_inner_bucketed_build_sec",
@@ -79,3 +81,15 @@ def test_bench_emits_one_valid_slim_json_line(tmp_path):
         "tasks_per_core",
         "profile",
     }
+    # round-6 row: the no-reduction regime records the decision the
+    # sizing loop actually made (at toy scale the estimate is small,
+    # so the chosen spelling may be the standard plan — the CONTRACT
+    # is that the decision fields are present and consistent)
+    nr = wl["part2_groups1e8_sizing"]
+    assert set(nr) >= {
+        "est_groups",
+        "repartition_first",
+        "profile",
+        "profile_applied",
+    }
+    assert isinstance(nr["repartition_first"], bool)
