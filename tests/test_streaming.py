@@ -656,3 +656,93 @@ def test_sessionize_ttl_drops_rows_behind_watermark(spark, tmp_path):
     # carries only the two in-order events
     assert all(r["n_events"] <= 2 for r in u7), u7
     assert all(r["last_event"] != 4 and r["first_event"] != 4 for r in u7), u7
+
+
+def test_sessionize_ttl_state_bounded_across_restarts(spark, tmp_path):
+    """Bounded-state contract across checkpointed restarts (VERDICT
+    r05 #7): three availableNow runs share one checkpoint, each
+    delivering a fresh hourly cohort of users; with ttl_watermark the
+    state store must hold only the ACTIVE cohorts (watermark evicts
+    each cohort once the next-but-one hour's events pass it), so the
+    final run's state rows stay well under the cumulative user count.
+    The probe twin (scripts/session_state_probe.py) runs the same
+    shape at 1e7 events; this pins the mechanism at test scale."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "bounded_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_bounded")
+    out = str(tmp_path / "out_bounded")
+    users_per_cohort = 40
+
+    def write_cohort(c: int) -> None:
+        rows = [
+            (
+                (c * users_per_cohort + u) * 1000 + j,
+                c * users_per_cohort + u,
+                f"2024-01-01 {10 + c:02d}:00:{j * 10:02d}",
+            )
+            for u in range(users_per_cohort)
+            for j in range(5)
+        ]
+        spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts_s STRING"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(str(src / f"h{c}"))
+
+    def run_once() -> tuple[int, int]:
+        """(final numRowsTotal, numRowsRemoved summed) for this run."""
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(f"{src}/*")
+        q = (
+            ST.sessionize_stateful(stream, ttl_watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        progress = [_json.loads(p.json) for p in q.recentProgress]
+        q.stop()
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in progress
+            if p.get("stateOperators")
+        ]
+        removed = sum(
+            p["stateOperators"][0].get("numRowsRemoved", 0)
+            for p in progress
+            if p.get("stateOperators")
+        )
+        return (totals[-1] if totals else 0), removed
+
+    states, removed_total = [], 0
+    for c in range(3):
+        write_cohort(c)
+        state_rows, removed = run_once()
+        states.append(state_rows)
+        removed_total += removed
+
+    # cumulative users = 120; bounded state must stay at the active
+    # window (≤ 2 cohorts under the 1-hour TTL), with real evictions
+    assert states[-1] <= 2 * users_per_cohort, states
+    assert removed_total >= users_per_cohort, (states, removed_total)
+    # and the evicted cohort's sessions were still emitted complete
+    final = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") < users_per_cohort)
+        .groupBy("user_id", "session_seq")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    )
+    assert len(final) == users_per_cohort
+    assert all(r["n"] == 5 and r["session_seq"] == 1 for r in final)
