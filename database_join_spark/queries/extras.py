@@ -245,6 +245,70 @@ def agg_repartition_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# join_bloom_prefilter — manual Bloom probe-side pruning for shuffle joins
+# --------------------------------------------------------------------------
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+    GROUP BY p.p_brand
+    """,
+    tags=("extras", "join", "scale"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension shuffle join with a MANUAL Bloom-bitmap
+    prune on the probe side (operators/bloom.py): the dim side
+    (parts with p_size ≤ 5, ~10%) builds a one-row bitmap over its
+    join keys; fact rows that cannot match are dropped BEFORE the
+    join exchange; the exact join then removes the ~n/2^17 false
+    positives, so the result is identical to the plain join — which
+    is exactly what the oracle asserts.
+
+    Why manual: Spark's own runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.*`) refused to inject
+    for every shape we measured (LARGE_INNER_PROBE.json: no
+    qualifying probe-side scan on generated frames; threshold
+    conditions unmet even when opened on parquet) — this operator is
+    the engine's explicit answer. The join is spelled SHUFFLE_HASH,
+    not broadcast, because the 100 TB shape this exists for has a
+    dim side past any broadcast threshold while its BITMAP is a few
+    KiB regardless of key count: the probe side prunes to ~matching
+    mass before paying its exchange, the decontam_bloom asymmetry
+    generalized to equi-joins. At fixture scale the plan shape is
+    what's exercised; the prune ratio is pinned by
+    tests/test_extras.py.
+    """
+    from database_join_spark.operators import bloom as B
+
+    configure_session(spark)
+    dim = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.floor("l_extendedprice").cast("long").alias("price")
+    )
+    pruned = B.prefilter(fact, "l_partkey", B.bitmap_of(dim, "p_partkey"))
+    return (
+        pruned.join(
+            dim.hint("shuffle_hash"),
+            dim.p_partkey == pruned.l_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # agg_avg_int_ext — the avg_int Catalyst session extension, end-to-end
 # --------------------------------------------------------------------------
 @query(

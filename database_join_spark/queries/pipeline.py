@@ -1376,35 +1376,16 @@ def _bloom_frames(spark: SparkSession, sf_dir: str):
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    bloom = (
-        ev.select(_bloom_pos("shingle").alias("pos"))
-        .select(
-            F.expr("pos DIV 64").alias("word"),
-            # F.shiftleft only takes a literal shift amount — the SQL
-            # spelling accepts a column
-            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("bf")
-        )
-    )
+    # bitmap build + probe via the shared operator (operators/bloom.py
+    # — extracted from this query in round 6 so joins reuse it)
+    from database_join_spark.operators import bloom as B
+
     corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
-    pre = (
-        corpus.withColumn("pos", _bloom_pos("shingle"))
-        .join(F.broadcast(bloom))  # 1-row bitmap, broadcast NLJ
-        .filter(
-            F.expr(
-                "(coalesce(element_at(bf, pos DIV 64), 0L)"
-                " & shiftleft(1L, CAST(pos % 64 AS INT))) != 0"
-            )
-        )
-        .drop("bf", "pos")
+    pre = B.prefilter(
+        corpus, "shingle", B.bitmap_of(ev, "shingle", _BLOOM_BITS),
+        _BLOOM_BITS,
     )
     return pre, corpus, ev
 

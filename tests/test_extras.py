@@ -126,3 +126,35 @@ def test_hll_sketch_estimates_within_bound_and_union_consistent(spark):
     assert got.keys() == exact.keys() | {"ALL"}
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
+
+
+def test_join_bloom_prefilter_prunes_but_never_drops_matches(spark):
+    """join_bloom_prefilter's bitmap must PRUNE (survivors well under
+    the fact row count — not a vacuous pass-through) while keeping
+    every matching row (false negatives impossible): survivors ≥ the
+    exact matching mass, and the final result is oracle-checked by
+    test_oracle_parity. Also pins the FP envelope: survivors ≤
+    matches + the ~n/2^17-rate slack over non-matching rows."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.operators import bloom as B
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dim = part.filter(F.col("p_size") <= 5).select("p_partkey")
+    fact = li.select("l_partkey")
+    total = fact.count()
+    matches = fact.join(
+        dim, dim.p_partkey == fact.l_partkey, "left_semi"
+    ).count()
+    survivors = B.prefilter(
+        fact, "l_partkey", B.bitmap_of(dim, "p_partkey")
+    ).count()
+    assert matches <= survivors, (matches, survivors)
+    # real pruning: the selective dim keeps well under half the fact
+    assert survivors < 0.6 * total, (survivors, total)
+    # FP envelope: n_keys/2^17 rate over the non-matching mass, with
+    # 3x slack for hash variance at fixture scale
+    n_keys = dim.distinct().count()
+    fp_budget = 3 * (n_keys / (1 << 17)) * (total - matches) + 50
+    assert survivors - matches <= fp_budget, (survivors, matches, fp_budget)
