@@ -644,3 +644,79 @@ def array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("arr_sum").alias("total_arr_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 26b. variant_json — semi-structured VARIANT type (Spark 4)
+# --------------------------------------------------------------------------
+@query(
+    "variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MAX(user_id) AS max_nested_uid,
+           COUNT(*) AS n_missing_field
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "semi-structured"),
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type end-to-end: ``parse_json`` over the
+    fixture's REAL JSON column (``events.props``) plus a constructed
+    nested document, typed extraction with ``variant_get`` /
+    ``try_variant_get``, and missing-path null semantics.
+
+    VARIANT is Spark's open-format semi-structured answer (shredded
+    binary encoding, no schema declaration up front) — at 100 TB it
+    replaces schema-on-read ``from_json`` for heterogeneous event
+    payloads: parse once at ingest, extract typed paths per query,
+    no full-schema inference pass. array_map_json covers the classic
+    ``from_json``-with-schema path; this covers the schemaless one.
+
+    The oracle is an INDEPENDENT path: DuckDB computes the same
+    values from the base columns (regexp over the raw JSON text,
+    user_id directly), so parity proves the variant round-trip
+    (to_json → parse_json → variant_get) is lossless for integers —
+    the nested doc carries only integer fields for exactly that
+    reason (double round-trips through JSON text are repr-sensitive;
+    documented, not exercised).
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "props", "event_id", "user_id"
+    )
+    enriched = ev.select(
+        "event_type",
+        # real fixture JSON → variant
+        F.parse_json("props").alias("v"),
+        # constructed nested doc → variant (integers only: JSON-text
+        # round-trip is exact for int64, repr-sensitive for doubles)
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.struct(F.col("user_id")).alias("nested"),
+                )
+            )
+        ).alias("doc"),
+    )
+    return (
+        enriched.select(
+            "event_type",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
+            F.variant_get("doc", "$.nested.user_id", "bigint").alias("uid"),
+            # missing path: try_variant_get returns NULL, never errors
+            F.try_variant_get("v", "$.absent", "bigint").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.max("uid").alias("max_nested_uid"),
+            F.sum(F.col("absent").isNull().cast("long")).alias(
+                "n_missing_field"
+            ),
+        )
+    )

@@ -13,6 +13,18 @@ state store; ``dropDuplicatesWithinWatermark`` keeps only the id set
 inside the horizon. All state lives in the checkpointed state store,
 partitioned by the grouping key — the streaming analogue of the
 reference's per-thread aggregation caches (q4112.c:225-237).
+
+API-generation note (round 6): Spark 4's successor API for custom
+stateful processing — ``transformWithStateInPandas``
+(StatefulProcessor + value/list/map state + timers) — requires the
+``protobuf`` Python package for its state-server protocol, which
+this container does not ship and cannot install; importing the
+processor machinery fails before any query runs. The
+``applyInPandasWithState`` operators here are the supported
+equivalent surface (same arbitrary-state semantics; timers ≈
+EventTimeTimeout, used by :func:`sessionize_stateful`'s TTL path).
+Porting ``update()`` to a StatefulProcessor is mechanical when the
+dependency is available.
 """
 
 from __future__ import annotations
