@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _SCHEMA_DDL = "doc_id BIGINT, lang STRING, text STRING"
@@ -76,9 +81,69 @@ class _Reader(DataSourceReader):
             )
 
 
+class _StreamReader(DataSourceStreamReader):
+    """Offset-based streaming form of the same generator (round 6).
+
+    The offset is the document-id cursor ``{"offset": n}``; each
+    ``latestOffset`` call advances it by ``rowsPerBatch`` until
+    ``maxRows`` (rate-source-style admission control — the Python
+    API exposes no ReadLimit, so the cursor IS the rate knob), and
+    ``partitions(start, end)`` splits the batch's id range across
+    executors exactly like the batch reader — the micro-batch is
+    generated in parallel, never on the driver. The cap makes the
+    stream FINITE, so batch ≡ stream is testable. Caveat the test
+    pins around: ``availableNow`` snapshots ``latestOffset`` once,
+    collapsing the run to a single rowsPerBatch-sized batch — use a
+    continuous trigger to drain the full range incrementally.
+    ``commit`` is a no-op: the generator is deterministic, so replay
+    after failure regenerates identical rows — the source is
+    effectively its own write-ahead log (the replayability argument
+    file sources make).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1000))
+        self.max_rows = int(options.get("maxRows", 10_000))
+        self.n_partitions = int(options.get("partitions", 8))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        # Advance one batch per call; Spark persists progress in the
+        # checkpoint, so the cursor derives from nothing but how many
+        # triggers have fired. The cap bounds the stream.
+        self._cursor = min(
+            getattr(self, "_cursor", 0) + self.rows_per_batch,
+            self.max_rows,
+        )
+        return {"offset": self._cursor}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["offset"]), int(end["offset"])
+        n = max(1, self.n_partitions)
+        step = max(1, -(-(hi - lo) // n))
+        bounds = [min(b, hi) for b in range(lo, hi + step, step)]
+        return [
+            _Partition(a, b) for a, b in zip(bounds, bounds[1:]) if a < b
+        ]
+
+    def read(self, partition: _Partition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield (
+                doc_id,
+                _LANGS[doc_id % len(_LANGS)],
+                _doc_text(doc_id),
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # deterministic generator: nothing to clean up
+
+
 class SynthDocsDataSource(DataSource):
     """`synthdocs` format: deterministic documents, split into
-    executor-side generated partitions."""
+    executor-side generated partitions. Batch (`spark.read`) and
+    streaming (`spark.readStream`) forms share the generator."""
 
     @classmethod
     def name(cls) -> str:
@@ -89,6 +154,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _Reader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _StreamReader(self.options)
 
 
 def register(spark) -> None:
