@@ -45,8 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds. Since round 6 the rotation is a single table —
     ``database_join_spark.queries.DRIVER_GATE`` — instead of a flag on
     every ``@query`` call site; see its docstring for this round's
-    composition (first rows for the r05/r06-born ids + every id whose
-    newest driver row was r02/r03 + the 13-id SURVEY §2 headline set).
+    composition (first rows for ALL r05/r06-born ids + every id whose
+    newest driver row was r02/r03 + the 11-id SURVEY §2 headline set).
     Everything rotated out holds a green r04-or-newer row and stays
     hash-compared by the identical check in pytest
     (tests/test_oracle_parity.py runs gated and ungated alike).

@@ -47,16 +47,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 #:
 #: Round-6 rotation (VERDICT r05 #1): every id whose newest driver
 #: row was r02 or r03 gets a fresh slot, plus first rows for the
-#: three r05-born ids and the r06-born ``agg_avg_int_ext``; the
-#: 13 retained SURVEY §2 headline/bench ids keep their streak.
-#: After this round no registry id's newest driver row is older
-#: than r04.
+#: three r05-born ids and ALL THREE r06-born ids (``agg_avg_int_ext``,
+#: ``join_bloom_prefilter``, ``variant_json`` — the latter two took
+#: the slots of simsearch_embed/stream_tumbling, both on unbroken
+#: r01–r05 streaks and still pytest-hash-compared, so for the first
+#: time NO registry id waits a round for its first driver row). The
+#: 11 retained SURVEY §2 headline/bench ids keep their streak. After
+#: this round no registry id's newest driver row is older than r04.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- first driver rows: born r05 (VERDICT r05 #1) + born r06 (#8)
+    # -- first driver rows: born r05 (VERDICT r05 #1) + born r06
     "agg_repartition_first",
     "dedup_substring_apply",
     "quality_gopher_rules",
     "agg_avg_int_ext",
+    "join_bloom_prefilter",
+    "variant_json",
     # -- newest row r02: tpch cohort + udf/stream/asof tail
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19",
@@ -74,8 +79,7 @@ DRIVER_GATE: frozenset[str] = frozenset({
     "scan_columnar", "join_hash_single", "join_hash_multi",
     "join_broadcast", "join_sortmerge", "agg_scalar_avg",
     "agg_groupby_avg", "agg_avg_of_avgs", "dedup_exact",
-    "dedup_minhash", "simsearch_embed", "text_analysis",
-    "stream_tumbling",
+    "dedup_minhash", "text_analysis",
 })
 
 #: The driver caps CORRECTNESS at 50 rows (CORRECTNESS_r01 cut the
