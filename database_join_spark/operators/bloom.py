@@ -42,10 +42,17 @@ def _pos(col: str | Column, bits: int) -> Column:
 
 
 def bitmap_of(keys: DataFrame, key_col: str, bits: int = DEFAULT_BITS) -> DataFrame:
-    """One-row ``(bf: map<long,long>)`` Bloom bitmap of a key column.
+    """``(word, bits)`` Bloom bitmap of a key column — one row per
+    64-bit word that has at least one bit set (≤ ``bits/64`` rows).
 
     Partial-aggregable: the exchange carries at most ``bits/64``
-    (word, bits) rows per task before the single-row collapse.
+    (word, bits) rows per task. Kept as a TABLE, not collapsed into a
+    one-row map: the probe side joins it with a broadcast HASH join
+    (O(1) per row), whereas ``element_at`` on a map column is a
+    LINEAR scan of the map — fine at decontam's 2^11 words, a
+    2.6e13-comparison stall at a join-sized 2^18-word bitmap
+    (measured: the one-row-map spelling hung the 1e8-row probe arm
+    that scripts/bloom_join_probe.py now times in seconds).
     """
     return (
         keys.select(_pos(key_col, bits).alias("pos"))
@@ -57,11 +64,6 @@ def bitmap_of(keys: DataFrame, key_col: str, bits: int = DEFAULT_BITS) -> DataFr
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("bf")
-        )
     )
 
 
@@ -73,16 +75,25 @@ def prefilter(
 ) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` MAY be in the bitmap's key set
     (false positives possible, false negatives impossible) — original
-    schema preserved. The bitmap joins in as a broadcast NLJ of one
-    row; the membership test runs inside whole-stage codegen."""
+    schema preserved.
+
+    The word table joins in as a BROADCAST HASH join on the word
+    index (a few MiB however many keys the bitmap holds), then the
+    bit test runs inside whole-stage codegen. Rows whose word has no
+    set bits at all drop at the join itself (inner join = bit 0) —
+    the common case for a selective key set.
+    """
     return (
         df.withColumn("__bloom_pos", _pos(key_col, bits))
-        .join(F.broadcast(bitmap))
+        .withColumn("__bloom_word", F.expr("__bloom_pos DIV 64"))
+        .join(
+            F.broadcast(bitmap.withColumnRenamed("word", "__bloom_word")),
+            "__bloom_word",
+        )
         .filter(
             F.expr(
-                "(coalesce(element_at(bf, __bloom_pos DIV 64), 0L)"
-                " & shiftleft(1L, CAST(__bloom_pos % 64 AS INT))) != 0"
+                "(bits & shiftleft(1L, CAST(__bloom_pos % 64 AS INT))) != 0"
             )
         )
-        .drop("bf", "__bloom_pos")
+        .drop("bits", "__bloom_pos", "__bloom_word")
     )
