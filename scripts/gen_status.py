@@ -90,12 +90,18 @@ TAIL = """
 | repartition-first no-reduction aggregate (plan rewrite + skew guard) | datagen.py + plans/sizing.py | 8-config oracle sweep (test_q4112_sweep) + REGROUP_PROBE.json arms |
 | sessionizer state eviction (EventTimeTimeout TTL) | streaming/ | timeout-fires + seq-restart replay (test_streaming) |
 | bench output-contract smoke (toy-scale subprocess) | bench.py | tests/test_bench_smoke.py |
+| streaming Python DataSource (offset-cursor admission control) | sources/synthdocs.py | multi-batch drain == batch row set (test_property) |
+| generic Bloom bitmap build/prefilter (word-table BHJ probe) | operators/bloom.py | prune/FP-envelope pins (test_extras) + BLOOM_JOIN_PROBE.json |
+| ExactSubstr scale probe (1M docs, recall ≥0.9995, round-trip 0 spans) | scripts/substr_probe.py | BASELINE.md §ExactSubstr scaling |
+| sessionizer state-scale probe (1e7 events, bounded state, parity 0-diff) | scripts/session_state_probe.py | BASELINE.md §state-scale + bounded-restarts test |
+| ANN scale probe (1M vectors, recall 1.00, 4.8–6× at 200 queries) | scripts/ann_probe.py | BASELINE.md §similarity scaling |
+| runtime avg_int registration for harness-owned sessions | functions/ext.py | driver-gated agg_avg_int_ext oracle row |
 """
 
 
 def main() -> None:
     reg = load_all()
-    print("# STATUS — operator coverage matrix (round 5)\n")
+    print("# STATUS — operator coverage matrix (round 6)\n")
     hist = driver_rows()
     print(
         "Generated by `python scripts/gen_status.py`. Every SURVEY §2 id\n"
