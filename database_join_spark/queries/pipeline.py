@@ -1648,6 +1648,106 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 40b. sample_weighted — PPS (weighted) corpus sampling, exact arithmetic
+# --------------------------------------------------------------------------
+#: Inverse target rate: expected sample ≈ rows/10 under flat
+#: weights; a doc's actual inclusion probability is w/(10·mean_w),
+#: saturating at 1 for docs ≥ 10× the mean weight — so the draw is
+#: scale-free (samples at every sf, unlike a fixed row target).
+_PPS_INV_RATE = 10
+#: Knuth multiplicative constant (public), reused from sample_hash_split.
+_PPS_MIX = 2654435761
+#: Deterministic per-doc uniform on [0, 2^20): the multiplicative
+#: hash's LOW 20 bits — ``x → x·MIX mod 2^20`` is a bijection (MIX
+#: odd), so sequential ids map to an equidistributed sequence — pure
+#: int64 arithmetic, identical in both engines (no float, no engine
+#: RNG; the same per-mille-bucket trick sample_hash_split uses).
+#: Products never need the high bits: doc_id·MIX stays inside int64
+#: to doc_id ≈ 3.5e9, and only the residue mod 2^20 is kept.
+_PPS_U = f"((doc_id * {_PPS_MIX}) % 1048576)"
+#: Integer document weight: characters capped at 2000 (a stand-in
+#: for any quality/length score — the weight column is the contract,
+#: not this particular choice).
+_PPS_W = "LEAST(LENGTH(text), 2000)"
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, {_PPS_W} AS wt,
+             {_PPS_U.replace("/", "//")} AS u
+      FROM documents
+    ),
+    tot AS (SELECT SUM(wt) AS tw, COUNT(*) AS n FROM w)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (
+                WHERE u * tw * {_PPS_INV_RATE} < n * wt * 1048576)
+                AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(wt) FILTER (
+                WHERE u * tw * {_PPS_INV_RATE} < n * wt * 1048576), 0)
+                AS BIGINT) AS sampled_weight,
+           CAST(COALESCE(SUM(doc_id) FILTER (
+                WHERE u * tw * {_PPS_INV_RATE} < n * wt * 1048576), 0)
+                AS BIGINT) AS sampled_id_sum
+    FROM w, tot GROUP BY lang
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (PPS / Poisson) corpus
+    sampling: include a document with probability
+    ``w/(R·mean_w)`` (R = 10, saturating at 1) where ``w`` is
+    its (integer) quality/length weight — the quality-weighted
+    downsampling step of a training-data pipeline (keep ~1/R of the
+    corpus, tilted toward long/high-quality docs, without a sort or
+    a shuffle). A fractional target, not a fixed row count, so the
+    same draw samples at every scale factor.
+
+    Spelled in EXACT int64 arithmetic so the kept SET is a pure
+    function of the row and bit-identical across engines, runs, and
+    partitionings: the per-doc uniform ``u`` is the top 20 bits of a
+    Knuth multiplicative hash (no RNG state), and the inclusion test
+    ``u·Σw·R < N·w·2^20`` is an integer cross-multiplication of
+    ``P(include) = N·w/(R·Σw)`` — no division, no floats, no
+    engine-specific rounding. Bounds: u < 2^20, Σw ≤ 2000·N, so the
+    left product stays inside int64 to N ≈ 4e8 docs; past that,
+    widen to DECIMAL(38,0) with the same comparison.
+
+    Plan: one scan computes weights, one 1-row total broadcast
+    (cross join of an aggregate — the scalar-subquery shape), one
+    per-language rollup. Expected sample size is Σ min(1, k·w/Σw)
+    ≈ k; the ``sampled_id_sum`` checksum pins the exact kept set.
+    At 100 TB the total-weight scalar comes from table statistics or
+    a first pass, and the draw itself stays a pure map — rows never
+    move.
+    """
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(_PPS_W).alias("wt"),
+        F.expr(f"{_PPS_U.replace('/', ' DIV ')}").alias("u"),
+    )
+    tot = w.agg(F.sum("wt").alias("tw"), F.count(F.lit(1)).alias("n"))
+    keep = F.expr(f"u * tw * {_PPS_INV_RATE} < n * wt * 1048576")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(keep).alias("n_sampled"),
+            F.coalesce(F.sum(F.when(keep, F.col("wt"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_weight"),
+            F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_id_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 41. quality_repetition — Gopher-style repetition quality signals
 # --------------------------------------------------------------------------
 _REP_K = 20
