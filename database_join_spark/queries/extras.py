@@ -245,6 +245,61 @@ def agg_repartition_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# join_salted — replicate-and-salt skew join as a gated query
+# --------------------------------------------------------------------------
+@query(
+    "join_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT) * p_size)
+                AS BIGINT) AS size_weighted
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY l_returnflag
+    """,
+    tags=("extras", "join", "skew"),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replicate-and-salt skew join (operators/skew.py
+    salted_join) as a registry query: dimension replicated salts×,
+    fact salted on a key-uncorrelated hash, join keyed on
+    (key, salt) so a heavy-hitter key spreads over ``salts`` tasks
+    instead of one straggler. Must be bit-equal to the plain join —
+    exactly what the oracle asserts (agg_salted is the aggregation
+    twin; this gates the join-side pattern the library had only as a
+    pytest-covered kernel).
+
+    AQE's skew-join split is the FIRST answer at scale (see the
+    operator docstring); the explicit salt is for broadcast-
+    ineligible dims with pre-known hot keys, where pre-committing to
+    a bounded fan-out beats runtime re-planning.
+    """
+    from database_join_spark.operators.skew import salted_join
+
+    configure_session(spark)
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_returnflag",
+        F.floor("l_extendedprice").cast("long").alias("price"),
+    )
+    dim = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_size"
+    )
+    # The hint keeps the gated PLAN representative: at fixture scale
+    # Catalyst would broadcast the replicated dim, which de-skews
+    # nothing — the pattern exists precisely for dims a broadcast
+    # cannot take, so the shuffle spelling is the honest one.
+    return (
+        salted_join(fact, dim.hint("shuffle_hash"), "l_partkey", salts=4)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("price") * F.col("p_size")).alias("size_weighted"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # join_bloom_prefilter — manual Bloom probe-side pruning for shuffle joins
 # --------------------------------------------------------------------------
 @query(

@@ -172,3 +172,29 @@ def test_synthdocs_stream_reader_equals_batch(spark, tmp_path):
         for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"en": 1000, "es": 1000, "fr": 1000, "de": 1000, "zh": 1000}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(-1_000_000, 1_000_000), min_size=1, max_size=60),
+    probes=st.lists(st.integers(-1_000_000, 1_000_000), min_size=1, max_size=120),
+)
+def test_bloom_prefilter_never_false_negative(spark, keys, probes):
+    """operators/bloom invariant on ARBITRARY key sets: every probe
+    row whose key is in the bitmap's key set survives prefilter
+    (false negatives impossible), and survivors are a subset of the
+    probe rows (schema preserved, no duplication)."""
+    from database_join_spark.operators import bloom as B
+
+    key_df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    probe_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "rid BIGINT, k BIGINT"
+    )
+    bits = 1 << 10  # small bitmap: force real FP pressure
+    surv = B.prefilter(probe_df, "k", B.bitmap_of(key_df, "k", bits), bits)
+    got = {(r["rid"], r["k"]) for r in surv.collect()}
+    key_set = set(keys)
+    must_keep = {(i, p) for i, p in enumerate(probes) if p in key_set}
+    assert must_keep <= got, (must_keep - got)
+    all_rows = {(i, p) for i, p in enumerate(probes)}
+    assert got <= all_rows
