@@ -327,3 +327,118 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# k-means clustering (exact fixed-point) — topic/style bucketing
+# --------------------------------------------------------------------------
+def kmeans_assign(
+    base: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Assign every row of ``base`` (columns ``id``, ``qv`` — a
+    quantized int64 vector from :func:`_quant`) to its nearest
+    centroid by EXACT integer squared distance.
+
+    Centroids ride into the plan as literal int64 arrays (k·dim
+    constants — plan-size-bounded, no join, no shuffle); the
+    distance fold ``Σ(x−y)²`` stays inside int64 for unit-scale
+    q7-quantized coordinates (diff ≤ 2·10⁷, square ≤ 4·10¹⁴, ×64
+    dims ≈ 2.6·10¹⁶ < 2⁶³). ``array_position(…, array_min(…))``
+    takes the FIRST minimum, so distance ties break to the lowest
+    cluster index deterministically.
+    """
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(c)) for c in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids
+        ]
+    )
+    return base.withColumn("dists", dists).select(
+        "id",
+        "qv",
+        F.expr("CAST(array_position(dists, array_min(dists)) AS INT)")
+        .alias("cluster"),
+        F.array_min("dists").alias("sqdist"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iterations: int = 5,
+    track_inertia: bool = False,
+) -> tuple[DataFrame, list[list[int]], list[int]]:
+    """Lloyd's k-means over an embedding column in EXACT fixed-point
+    integer arithmetic — every distance, assignment, and centroid
+    update is an int64 computation, so the fit is bit-deterministic
+    across runs, partitionings, and re-orderings (a float k-means
+    is not: parallel double sums drift with partition order, and a
+    point near a Voronoi boundary can flip clusters run-to-run).
+
+    Per iteration: one map-stage assignment against literal
+    centroids (:func:`kmeans_assign`, no shuffle), then one
+    vocabulary-bounded aggregation — posexplode to (cluster, pos,
+    val) and sum/count — whose exchange carries at most k·dim
+    groups after map-side partial aggregation. The driver holds
+    ONLY the k·dim centroid matrix (the same scalar-bounded loop
+    contract as connected_components): rows never collect. New
+    centroid coordinate = floor mean ``Σq DIV n`` (exact int64 to
+    ~10¹¹ members per cluster at q7 scale); a cluster that loses
+    all members keeps its previous centroid. Init = the k
+    lowest-id vectors (deterministic, no RNG).
+
+    Returns (final assignment DataFrame, final centroids, inertia
+    history — empty unless ``track_inertia``, which adds one extra
+    job per iteration and exists for the monotone-objective
+    property test; the production path leaves it off).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
+    )
+    seed_rows = base.orderBy("id").limit(k).collect()
+    cents = [list(r.qv) for r in sorted(seed_rows, key=lambda r: r.id)]
+    history: list[int] = []
+    for _ in range(iterations):
+        assigned = kmeans_assign(base, cents)
+        if track_inertia:
+            history.append(
+                int(
+                    assigned.agg(
+                        F.sum(F.col("sqdist").cast("decimal(38,0)"))
+                    ).collect()[0][0]
+                )
+            )
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode("qv").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
+        cents = [
+            [
+                coords[p][0] // coords[p][1]
+                for p in sorted(coords)
+            ]
+            if (coords := by_cluster.get(j + 1))
+            else cents[j]
+            for j in range(k)
+        ]
+    return kmeans_assign(base, cents), cents, history

@@ -47,13 +47,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #:
 #: Round-6 rotation (VERDICT r05 #1): every id whose newest driver
 #: row was r02 or r03 gets a fresh slot, plus first rows for the
-#: three r05-born ids and ALL THREE r06-born ids (``agg_avg_int_ext``,
-#: ``join_bloom_prefilter``, ``variant_json`` — the latter two took
-#: the slots of simsearch_embed/stream_tumbling, both on unbroken
-#: r01–r05 streaks and still pytest-hash-compared, so for the first
-#: time NO registry id waits a round for its first driver row). The
-#: 11 retained SURVEY §2 headline/bench ids keep their streak. After
-#: this round no registry id's newest driver row is older than r04.
+#: three r05-born ids and ALL NINE r06-born ids (``agg_avg_int_ext``,
+#: ``join_bloom_prefilter``, ``variant_json``, ``join_salted``,
+#: ``sample_weighted``, ``agg_argmax``, ``chunk_documents``,
+#: ``quality_lm_surprisal``, ``topic_kmeans``). The r06-born ids
+#: took the slots of simsearch_embed, stream_tumbling,
+#: scan_columnar, dedup_minhash, and the four explicit join-strategy
+#: variants — each on an unbroken r01–r05 streak and still
+#: pytest-hash-compared — so NO registry id waits a round for its
+#: first driver row. The retained
+#: SURVEY §2 headline/bench ids keep their streak. After this round
+#: no registry id's newest driver row is older than r04.
 DRIVER_GATE: frozenset[str] = frozenset({
     # -- first driver rows: born r05 (VERDICT r05 #1) + born r06
     "agg_repartition_first",
@@ -62,6 +66,12 @@ DRIVER_GATE: frozenset[str] = frozenset({
     "agg_avg_int_ext",
     "join_bloom_prefilter",
     "variant_json",
+    "join_salted",
+    "sample_weighted",
+    "agg_argmax",
+    "chunk_documents",
+    "quality_lm_surprisal",
+    "topic_kmeans",
     # -- newest row r02: tpch cohort + udf/stream/asof tail
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19",
@@ -73,13 +83,18 @@ DRIVER_GATE: frozenset[str] = frozenset({
     "dedup_first_event", "dedup_incremental", "embed_quantize",
     "pack_sequences", "pii_scrub", "quality_repetition",
     "sample_stratified", "tfidf_terms",
-    # -- SURVEY §2 headline set (all hold r01–r05 green streaks;
-    #    kept gated so the flagship/bench surface is re-proven under
-    #    the driver every round)
-    "scan_columnar", "join_hash_single", "join_hash_multi",
-    "join_broadcast", "join_sortmerge", "agg_scalar_avg",
+    # -- SURVEY §2 headline set (kept gated so the flagship surface
+    #    is re-proven under the driver every round). Six r01–r05
+    #    streak holders rotated out late in r06 to make room for the
+    #    six youngest ids: scan_columnar and the four join variants
+    #    (five full-green rows each — the least informative slots,
+    #    all still bench-tracked and pytest-hash-compared) and
+    #    dedup_minhash (driver row is rows-only by design; its real
+    #    contract is the pytest recall pin, which keeps running
+    #    either way).
+    "agg_scalar_avg",
     "agg_groupby_avg", "agg_avg_of_avgs", "dedup_exact",
-    "dedup_minhash", "text_analysis",
+    "text_analysis",
 })
 
 #: The driver caps CORRECTNESS at 50 rows (CORRECTNESS_r01 cut the

@@ -1102,3 +1102,93 @@ def distinct_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("ALL").alias("event_type"), "n_distinct_est")
     return typed.unionByName(union).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# agg_argmax — max_by / min_by / deterministic mode
+# --------------------------------------------------------------------------
+#: Total-order encoding of (value, event_id) into one BIGINT so that
+#: ``max_by``'s tiebreak is explicit instead of engine-arbitrary
+#: (FIXTURES.md determinism rule 4 — the same reason the top-k
+#: windows carry a unique-key tiebreak). ``value`` is a stored
+#: double; value·1e6 and FLOOR are IEEE-identical in Spark and
+#: DuckDB, so both engines derive the same key. Bounds: micros ≤
+#: 5×10^8 at the fixture's value ceiling (~490), ×2^25 ≈ 1.7×10^16
+#: plus event_id < 2^25 stays inside int64; at cluster scale the
+#: same spelling widens the shifted key to DECIMAL(38,0) (or uses
+#: max_by(x, struct(v, id)) where no cross-engine oracle constrains
+#: the spelling — DuckDB's arg_max cannot take a composite key).
+_ARGMAX_ORD = (
+    "CAST(FLOOR(value * 1000000) AS BIGINT) * 33554432 + event_id"
+)
+
+@query(
+    "agg_argmax",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type, user_id, event_id, value,
+             {_ARGMAX_ORD} AS ord
+      FROM events
+    ),
+    freq AS (
+      SELECT event_type, user_id % 10 AS bucket,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    mode_pick AS (
+      SELECT event_type,
+             arg_max(bucket,
+                     lpad(CAST(cnt AS VARCHAR), 10, '0') || '|' ||
+                     lpad(CAST(bucket AS VARCHAR), 20, '0')) AS mode_bucket
+      FROM freq GROUP BY event_type
+    )
+    SELECT k.event_type,
+           arg_max(k.event_id, k.ord) AS max_value_event,
+           arg_min(k.event_id, k.ord) AS min_value_event,
+           MAX(m.mode_bucket) AS mode_user_bucket
+    FROM keyed k JOIN mode_pick m USING (event_type)
+    GROUP BY k.event_type
+    """,
+    tags=("extras", "agg"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector aggregates: per event type, WHICH event carried the
+    max/min value (``max_by``/``min_by``) and the most frequent
+    user-id bucket (mode) — the "argmax" family the reference's
+    sum/count kernels cannot express without a self-join
+    (q4112_hj.c:95-133 only folds commutative partials).
+
+    All three selectors ride explicit total orders so the answer is
+    deterministic under ties: max/min use the encoded
+    (value, event_id) BIGINT key above; mode is spelled as a
+    two-level aggregate — count per (type, bucket), then
+    ``max_by(bucket, zero-padded (cnt, bucket) string)`` — because
+    both Spark's ``mode()`` and DuckDB's ``mode()`` pick an
+    arbitrary winner on tied counts. The zero-padded concatenation
+    makes lexicographic VARCHAR order coincide with the numeric
+    (cnt, bucket) order, the one composite-key encoding DuckDB's
+    arg_max accepts.
+
+    Plan: selectors fold map-side like any partial aggregate (each
+    carries one candidate row per partition through the exchange),
+    and the mode layer's shuffle is bounded by |types|×|buckets|,
+    not row count — both scale-safe at 100 TB.
+    """
+    configure_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "value"
+    ).withColumn("ord", F.expr(_ARGMAX_ORD))
+    sel = ev.groupBy("event_type").agg(
+        F.expr("max_by(event_id, ord)").alias("max_value_event"),
+        F.expr("min_by(event_id, ord)").alias("min_value_event"),
+    )
+    freq = ev.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mode_pick = freq.groupBy("event_type").agg(
+        F.expr(
+            "max_by(bucket, lpad(CAST(cnt AS STRING), 10, '0') || '|' "
+            "|| lpad(CAST(bucket AS STRING), 20, '0'))"
+        ).alias("mode_user_bucket")
+    )
+    return sel.join(F.broadcast(mode_pick), "event_type")

@@ -2592,3 +2592,220 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= _NGRAM_MIN_FREQ)
     )
+
+
+# --------------------------------------------------------------------------
+# 46. chunk_documents — sliding token-window chunking
+# --------------------------------------------------------------------------
+#: Chunk geometry: 64-token windows every 48 tokens (16-token overlap
+#: so no boundary sentence is ever split across chunks without also
+#: appearing whole in one of them) — the context-window packing
+#: precursor every RAG / pretraining pipeline runs before embedding.
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.TOKENS_DUCK.format(c="text")} AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - 1, {_CHUNK_STRIDE}))
+               AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, s + 1, s + {_CHUNK_LEN}))
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, s + 1, s + {_CHUNK_LEN}), ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+    tags=("pipeline", "text"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    64-token windows on a 48-token stride (16-token overlap) and
+    fingerprint each chunk — the unit-of-retrieval / unit-of-packing
+    transform that sits between raw corpus and embedding or
+    sequence-packing stages in a training-data pipeline
+    (pack_sequences consumes whole docs; this is the sub-document
+    twin).
+
+    Entirely JVM expressions: ``sequence`` generates the chunk
+    starts per row, ``explode`` laterally expands them, ``slice`` +
+    ``array_join`` + ``md5`` fingerprint each window — one scan, no
+    shuffle, no Python. Both engines agree exactly because the
+    tokenizer contract (operators/text.py) and md5 hex are
+    identical, and ``slice``/``list_slice`` share 1-based inclusive
+    semantics (Spark takes (start, length), DuckDB (start, stop) —
+    the spellings differ, the windows don't). The md5 column is the
+    chunk's content address: chunk-level exact dedup downstream is
+    a groupBy on it, no text movement.
+
+    At 100 TB chunking is embarrassingly parallel (map-only,
+    output ~2× input rows at these geometry constants); the chunk
+    table partitions by doc hash and never needs to co-locate with
+    anything until an embedding or dedup stage keys it.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", T.tokens("text").alias("t")
+    )
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr(
+                f"sequence(0, size(t) - 1, {_CHUNK_STRIDE})"
+            )
+        ).alias("s"),
+    )
+    chunk = F.expr(f"slice(t, s + 1, {_CHUNK_LEN})")
+    return starts.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 47. quality_lm_surprisal — integer unigram-LM quality scoring
+# --------------------------------------------------------------------------
+@query(
+    "quality_lm_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({T.TOKENS_DUCK.format(c="text")}) AS tk
+      FROM documents
+    ),
+    cnt AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(LENGTH(bin(n // c)) - 1) AS BIGINT)
+             AS sum_surprisal,
+           CAST(SUM(LENGTH(bin(n // c)) - 1) // COUNT(*) AS BIGINT)
+             AS mean_surprisal
+    FROM tok t JOIN cnt USING (tk), tot
+    GROUP BY t.doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring in EXACT integer
+    arithmetic: score every document by the mean surprisal of its
+    tokens under the corpus's own unigram distribution — the
+    KenLM-perplexity-filter shape (common docs of common words score
+    low, gibberish and boilerplate-with-rare-junk score high)
+    without a trained model artifact.
+
+    The determinism trick: per-token surprisal is
+    ``floor(log2(N / c))`` — N corpus tokens, c the token's count —
+    computed WITHOUT floating point as
+    ``LENGTH(bin(N DIV c)) - 1`` (the bit length of the integer
+    quotient; ``bin`` renders unpadded binary identically in Spark
+    and DuckDB). No log(), no doubles, no summation-order drift:
+    both engines produce bit-identical BIGINT scores, which is what
+    lets this be hash-oracled while a float spelling could not be
+    (FIXTURES.md determinism rule 2 applied to logarithms).
+
+    Plan: one token explode feeds both the count table and the
+    scoring join; Catalyst picks broadcast for the count side at
+    fixture scale and falls back to a shuffled hash join when the
+    vocabulary outgrows the threshold at cluster scale (vocab is
+    sublinear in corpus size but not driver-bounded — the join, not
+    a collect, is the contract). The 1-row total crosses as a
+    broadcast scalar, the final rollup is one doc-keyed exchange.
+    """
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(T.tokens("text")).alias("tk")
+    )
+    cnt = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    surprisal = F.expr("CAST(LENGTH(bin(n DIV c)) - 1 AS BIGINT)")
+    return (
+        tok.join(cnt, "tk")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(surprisal).alias("sum_surprisal"),
+            F.expr(
+                "CAST(SUM(CAST(LENGTH(bin(n DIV c)) - 1 AS BIGINT)) "
+                "DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 48. topic_kmeans — corpus topic bucketing via exact-integer k-means
+# --------------------------------------------------------------------------
+_KMEANS_K = 10
+_KMEANS_ITERS = 5
+
+@query(
+    "topic_kmeans",
+    tags=("pipeline", "similarity", "no-oracle"),
+)
+def topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic/style bucketing of the corpus: Lloyd's k-means over the
+    embedding table (k = 10, 5 iterations) with EVERY distance,
+    assignment, and centroid update in exact int64 fixed-point —
+    the clustering stage a training-data pipeline uses for domain
+    balancing, curriculum bucketing, or semantic sharding before
+    sampling (corpus_mix reweights domains it is GIVEN; this
+    derives them from content).
+
+    Exact integer arithmetic makes the whole iterative fit
+    bit-deterministic — no FP summation-order drift, no RNG init
+    (seeds = the k lowest vec_ids) — so even the per-cluster
+    inertia column is stable across runs and partitionings. No
+    DuckDB oracle (iterative k-means is not a DuckDB-expressible
+    query); the validation contract is an independent exact-integer
+    numpy reimplementation that must agree BIT-FOR-BIT on every
+    assignment, plus pinned k-row shape and monotone objective
+    (tests/test_pipeline.py).
+
+    Scale posture: per iteration one literal-centroid map stage
+    (no join, no shuffle — operators/similarity.kmeans_fit) plus
+    one k·dim-bounded aggregation; the driver holds only the k×64
+    centroid matrix. Output is k rows — cluster id, member count,
+    exact inertia, and members' min vec_id as a stable
+    representative — emitted for ALL k clusters (empty ones as 0)
+    so the row count is pinned regardless of convergence path.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents, _hist = S.kmeans_fit(
+        emb, k=_KMEANS_K, iterations=_KMEANS_ITERS
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("sqdist").cast("decimal(38,0)")).alias("inertia_q14"),
+        F.min("id").alias("rep_vec_id"),
+    )
+    shell = spark.range(1, _KMEANS_K + 1).select(
+        F.col("id").cast("int").alias("cluster")
+    )
+    return (
+        shell.join(sizes, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("n_members"), F.lit(0).cast("long"))
+            .alias("n_members"),
+            F.coalesce(
+                F.col("inertia_q14"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("inertia_q14"),
+            F.coalesce(F.col("rep_vec_id"), F.lit(-1).cast("long"))
+            .alias("rep_vec_id"),
+        )
+        .orderBy("cluster")
+    )

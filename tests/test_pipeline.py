@@ -308,3 +308,89 @@ def test_substring_excision_round_trip(spark):
     assert rows[1].clean_text.endswith("gamma delta epsilon zeta")
     re_docs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
     assert substring_spans_frame(re_docs).count() == 0
+
+
+# --------------------------------------------------------------------------
+# topic_kmeans — exact-integer k-means must agree bit-for-bit with an
+# independent numpy reimplementation (its declared validation contract)
+# --------------------------------------------------------------------------
+def _kmeans_numpy(sf_dir: str, k: int, iterations: int):
+    """Independent exact-int64 Lloyd's k-means on the raw parquet."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    q = np.floor(emb.astype(np.float64) * 10_000_000).astype(np.int64)
+    cents = q[:k].copy()
+    inertia_hist = []
+
+    def assign(c):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # first min — matches array_position
+        return a, d[np.arange(len(q)), a]
+
+    for _ in range(iterations):
+        a, dmin = assign(cents)
+        inertia_hist.append(int(dmin.sum()))
+        for j in range(k):
+            m = q[a == j]
+            if len(m):
+                # floor division, matching the operator's Python //
+                cents[j] = np.floor_divide(m.sum(axis=0), len(m))
+    a, dmin = assign(cents)
+    return ids, a + 1, dmin, inertia_hist
+
+
+def test_topic_kmeans_assignments_match_numpy_exactly(spark):
+    from database_join_spark.operators.similarity import kmeans_fit
+    from database_join_spark.catalog import table
+    from database_join_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+    )
+
+    ids, clusters, sqd, _ = _kmeans_numpy(SF_DIR, _KMEANS_K, _KMEANS_ITERS)
+    expected = {
+        int(i): (int(c), int(d)) for i, c, d in zip(ids, clusters, sqd)
+    }
+    assigned, _, _ = kmeans_fit(
+        table(spark, SF_DIR, "embeddings"),
+        k=_KMEANS_K,
+        iterations=_KMEANS_ITERS,
+    )
+    got = {
+        r["id"]: (r["cluster"], r["sqdist"]) for r in assigned.collect()
+    }
+    assert got == expected  # bit-for-bit: every id, cluster AND distance
+
+
+def test_topic_kmeans_query_shape_and_exact_aggregates(spark):
+    from database_join_spark.queries.pipeline import _KMEANS_ITERS, _KMEANS_K
+
+    ids, clusters, sqd, _ = _kmeans_numpy(SF_DIR, _KMEANS_K, _KMEANS_ITERS)
+    rows = REGISTRY["topic_kmeans"].fn(spark, SF_DIR).collect()
+    assert [r["cluster"] for r in rows] == list(range(1, _KMEANS_K + 1))
+    assert sum(r["n_members"] for r in rows) == len(ids)
+    for r in rows:
+        mask = clusters == r["cluster"]
+        assert r["n_members"] == int(mask.sum())
+        assert int(r["inertia_q14"]) == int(sqd[mask].sum())
+
+
+def test_topic_kmeans_objective_is_monotone_nonincreasing(spark):
+    from database_join_spark.operators.similarity import kmeans_fit
+    from database_join_spark.catalog import table
+
+    _, _, hist = kmeans_fit(
+        table(spark, SF_DIR, "embeddings"),
+        k=4,
+        iterations=4,
+        track_inertia=True,
+    )
+    assert len(hist) == 4
+    # Lloyd's with exact arithmetic can never increase the objective
+    assert all(a >= b for a, b in zip(hist, hist[1:]))
