@@ -442,3 +442,43 @@ def kmeans_fit(
             for j in range(k)
         ]
     return kmeans_assign(base, cents), cents, history
+
+
+def kmeans_assign_topm(
+    base: DataFrame, centroids: list[list[int]], m: int
+) -> DataFrame:
+    """Multi-probe cluster assignment: one exploded row per (vector,
+    block) for the vector's ``m`` NEAREST centroids — the blocking
+    form of :func:`kmeans_assign` (same literal-centroid map stage,
+    no shuffle). ``arrays_zip`` + ``array_sort`` order (distance,
+    index) structs, so distance ties break to the lowest cluster
+    index — the same deterministic rule as ``array_position`` on the
+    first minimum, and the same order ``numpy.argsort(kind='stable')``
+    yields, which is what lets the multi-probe candidate SET be
+    pinned bit-for-bit against an independent fit."""
+    k = len(centroids)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(c)) for c in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids
+        ]
+    )
+    return (
+        base.withColumn("dists", dists)
+        .withColumn(
+            "blocks",
+            F.expr(
+                f"transform(slice(array_sort(arrays_zip(dists, "
+                f"sequence(1, {k}))), 1, {m}), s -> CAST(s['1'] AS INT))"
+            ),
+        )
+        .select("id", "qv", F.explode("blocks").alias("block"))
+    )

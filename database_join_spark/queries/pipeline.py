@@ -2809,3 +2809,72 @@ def topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# 49. dedup_semantic — SemDeDup: k-means-bucketed embedding dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_semantic",
+    tags=("pipeline", "dedup", "similarity", "no-oracle"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate pairs with CONTENT-DERIVED blocking:
+    k-means clusters (topic_kmeans's exact-integer fit) serve as the
+    candidate buckets, then only same-cluster pairs pay the exact
+    quantized cosine — the SemDeDup recipe (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication": cluster the embedding space, dedup within
+    clusters). dedup_embed_cosine needs a label column to block on;
+    this derives the blocks from the vectors themselves, which is
+    the realistic corpus case.
+
+    Pair enumeration cost drops from n²/2 to Σ|cluster|²/2 ≈ n²/2k
+    (uniform clusters), and — unlike LSH — the same clustering is
+    reusable for domain balancing (topic_kmeans) so the fit
+    amortizes across pipeline stages. Misses are exactly the true
+    pairs that straddle a Voronoi boundary; near-dup pairs are by
+    definition close, so they co-cluster except within a quantum of
+    the boundary. Validation: recall == 1.0 against the exact
+    all-pairs numpy ground truth on the fixtures, precision exact
+    by construction (every emitted pair carries its true cosine) —
+    tests/test_pipeline.py; no DuckDB oracle (the iterative fit is
+    not SQL-expressible), driver records rows-only.
+
+    Scale posture: one k-means fit (per-iteration map stage +
+    k·dim-bounded update), one shuffle of (cluster, id, vec) to
+    co-locate cluster members, pair expansion inside clusters only.
+    At 100 TB, k scales with corpus (SemDeDup used 110k clusters
+    for LAION) keeping Σ|cluster|² bounded; the fit cost stays one
+    scan per iteration regardless of k.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents, _hist = S.kmeans_fit(emb, k=10, iterations=3)
+    v = assigned.select(
+        F.col("id").alias("vec_id"), "cluster"
+    ).join(
+        emb.select(
+            "vec_id",
+            "embedding",
+            S.norm2_q7("embedding").alias("n2"),
+        ),
+        "vec_id",
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            S.cosine(
+                S.dot_q7("a.embedding", "b.embedding"),
+                F.col("a.n2"),
+                F.col("b.n2"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COS_DUP_THRESHOLD)
+    )

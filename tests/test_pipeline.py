@@ -394,3 +394,35 @@ def test_topic_kmeans_objective_is_monotone_nonincreasing(spark):
     assert len(hist) == 4
     # Lloyd's with exact arithmetic can never increase the objective
     assert all(a >= b for a, b in zip(hist, hist[1:]))
+
+
+# --------------------------------------------------------------------------
+# dedup_semantic — k-means-bucketed semantic dedup must recover the
+# exact all-pairs ground truth (its declared validation contract)
+# --------------------------------------------------------------------------
+def test_dedup_semantic_recall_vs_exact_all_pairs(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    # exact ground truth, same quantized arithmetic as the operator
+    q = np.floor(emb * 10_000_000).astype(np.int64)
+    dots = q @ q.T
+    n2 = np.diag(dots).astype(np.float64)
+    cos = dots / np.sqrt(n2[:, None] * n2[None, :])
+    iu = np.triu_indices(len(ids), k=1)
+    hits = cos[iu] >= 0.4
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][hits], ids[iu[1]][hits])
+    }
+    got = _pairs(REGISTRY["dedup_semantic"].fn(spark, SF_DIR))
+    assert truth, "fixtures must plant semantic dups"
+    # precision exact by construction (pairs carry their true cosine)
+    assert got <= truth
+    # recall: planted near-dups co-cluster (boundary straddle = miss)
+    assert len(got & truth) / len(truth) == 1.0
