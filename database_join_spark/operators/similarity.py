@@ -407,6 +407,10 @@ def kmeans_fit(
     )
     seed_rows = base.orderBy("id").limit(k).collect()
     cents = [list(r.qv) for r in sorted(seed_rows, key=lambda r: r.id)]
+    # Fewer rows than k → fewer seeds than the update loop iterates;
+    # clamp so the fit degenerates gracefully (every row its own
+    # cluster) instead of raising IndexError on cents[j].
+    k = min(k, len(cents))
     history: list[int] = []
     for _ in range(iterations):
         assigned = kmeans_assign(base, cents)

@@ -45,53 +45,48 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: membership in this set. History per id stays in STATUS.md
 #: (generated from the committed CORRECTNESS artifacts).
 #:
-#: Round-6 rotation (VERDICT r05 #1): every id whose newest driver
-#: row was r02 or r03 gets a fresh slot, plus first rows for the
-#: three r05-born ids and ALL NINE r06-born ids (``agg_avg_int_ext``,
-#: ``join_bloom_prefilter``, ``variant_json``, ``join_salted``,
-#: ``sample_weighted``, ``agg_argmax``, ``chunk_documents``,
-#: ``quality_lm_surprisal``, ``topic_kmeans``). The r06-born ids
-#: took the slots of simsearch_embed, stream_tumbling,
-#: scan_columnar, dedup_minhash, and the four explicit join-strategy
-#: variants — each on an unbroken r01–r05 streak and still
-#: pytest-hash-compared — so NO registry id waits a round for its
-#: first driver row. The retained
-#: SURVEY §2 headline/bench ids keep their streak. After this round
-#: no registry id's newest driver row is older than r04.
+#: Round-7 rotation (VERDICT r06 #2, rotation 5): a first driver row
+#: for ``dedup_semantic`` (the only registry id with no driver
+#: history — held back in r06 until its recall pin passed, fixed
+#: this round via multi-probe blocking) plus the ENTIRE r04
+#: staleness tail — every id whose newest driver row is r04 gets a
+#: fresh slot (``agg_quantile_exact`` … ``distinct_hll_sketch``
+#: below). They take the slots of the 16 TPC-H queries and
+#: ``multimodal_features`` — all 17 rotated-out ids earned full
+#: green r06 rows and remain pytest-hash-compared every run
+#: (tests/test_oracle_parity.py / test_multimodal). After this
+#: round no registry id's newest driver row is older than r05.
+#:
+#: Rotation history: r06 gave first rows to all nine r06-born ids
+#: except ``dedup_semantic`` (committed with a failing recall test;
+#: the r06 VERDICT's one red — its first row lands this round
+#: instead) and refreshed the whole r02/r03 tail.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- first driver rows: born r05 (VERDICT r05 #1) + born r06
-    "agg_repartition_first",
-    "dedup_substring_apply",
+    # -- first driver row: born r06, fixed + gated r07
+    "dedup_semantic",
+    # -- newest row r04 (rotation 5 staleness tail)
+    "agg_quantile_exact", "anomaly_zscore", "bpe_pair_counts",
+    "decontam_bloom", "dedup_substring", "event_funnel",
+    "heavy_hitters_approx", "join_asof", "join_range_binned",
+    "ngram_counts", "retention_cohorts", "sample_hash_split",
+    "seq_len_hist", "sessionize_events", "text_vocab",
+    "distinct_hll_sketch",
+    # -- newest row r05: born-r05 cohort keeps a second row
+    "agg_repartition_first", "dedup_substring_apply",
     "quality_gopher_rules",
-    "agg_avg_int_ext",
-    "join_bloom_prefilter",
-    "variant_json",
-    "join_salted",
-    "sample_weighted",
-    "agg_argmax",
-    "chunk_documents",
-    "quality_lm_surprisal",
-    "topic_kmeans",
-    # -- newest row r02: tpch cohort + udf/stream/asof tail
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q10", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19",
+    # -- newest row r06: born-r06 cohort keeps a second row
+    "agg_avg_int_ext", "join_bloom_prefilter", "variant_json",
+    "join_salted", "sample_weighted", "agg_argmax",
+    "chunk_documents", "quality_lm_surprisal", "topic_kmeans",
+    # -- r06-refreshed udf/stream/asof + pipeline cohort (retained)
     "udf_grouped", "udf_grouped_agg", "stream_sliding",
-    "join_asof_bucketed", "multimodal_features",
-    # -- newest row r03: remaining tpch + the r03 pipeline cohort
-    "tpch_q8", "tpch_q13", "tpch_q17", "tpch_q21", "tpch_q22",
+    "join_asof_bucketed",
     "corpus_clean", "corpus_mix", "decontam_ngram", "dedup_clusters",
     "dedup_first_event", "dedup_incremental", "embed_quantize",
     "pack_sequences", "pii_scrub", "quality_repetition",
     "sample_stratified", "tfidf_terms",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
-    #    is re-proven under the driver every round). Six r01–r05
-    #    streak holders rotated out late in r06 to make room for the
-    #    six youngest ids: scan_columnar and the four join variants
-    #    (five full-green rows each — the least informative slots,
-    #    all still bench-tracked and pytest-hash-compared) and
-    #    dedup_minhash (driver row is rows-only by design; its real
-    #    contract is the pytest recall pin, which keeps running
-    #    either way).
+    #    is re-proven under the driver every round)
     "agg_scalar_avg",
     "agg_groupby_avg", "agg_avg_of_avgs", "dedup_exact",
     "text_analysis",

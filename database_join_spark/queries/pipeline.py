@@ -2814,6 +2814,17 @@ def topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 49. dedup_semantic — SemDeDup: k-means-bucketed embedding dedup
 # --------------------------------------------------------------------------
+#: Multi-probe width for SemDeDup blocking. Measured on the sf0.001
+#: fixtures (k=10, 3 iterations, 66 planted pairs at cos ≥ 0.4):
+#: m=1 recall 0.38, m=2 recall 0.80, m=3 recall 0.94, m=4 recall
+#: 1.00 — single-assignment blocking drops boundary-straddling
+#: pairs (the r06 regression); probing the 4 nearest centroids
+#: recovers every planted pair. The candidate-pair superset stays
+#: exact-precision because every emitted pair carries its true
+#: cosine.
+_SEMDEDUP_PROBES = 4
+
+
 @query(
     "dedup_semantic",
     tags=("pipeline", "dedup", "similarity", "no-oracle"),
@@ -2821,7 +2832,7 @@ def topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-duplicate pairs with CONTENT-DERIVED blocking:
     k-means clusters (topic_kmeans's exact-integer fit) serve as the
-    candidate buckets, then only same-cluster pairs pay the exact
+    candidate buckets, then only co-blocked pairs pay the exact
     quantized cosine — the SemDeDup recipe (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication": cluster the embedding space, dedup within
@@ -2829,47 +2840,61 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     this derives the blocks from the vectors themselves, which is
     the realistic corpus case.
 
-    Pair enumeration cost drops from n²/2 to Σ|cluster|²/2 ≈ n²/2k
-    (uniform clusters), and — unlike LSH — the same clustering is
-    reusable for domain balancing (topic_kmeans) so the fit
-    amortizes across pipeline stages. Misses are exactly the true
-    pairs that straddle a Voronoi boundary; near-dup pairs are by
-    definition close, so they co-cluster except within a quantum of
-    the boundary. Validation: recall == 1.0 against the exact
-    all-pairs numpy ground truth on the fixtures, precision exact
-    by construction (every emitted pair carries its true cosine) —
-    tests/test_pipeline.py; no DuckDB oracle (the iterative fit is
-    not SQL-expressible), driver records rows-only.
+    Blocking is MULTI-PROBE (operators/similarity.kmeans_assign_topm,
+    m = _SEMDEDUP_PROBES): each vector lands in its m nearest
+    clusters, and a pair is a candidate iff the two vectors share
+    any probed cluster. Single-assignment blocking misses exactly
+    the true pairs that straddle a Voronoi boundary — measured
+    recall 0.38 on the fixtures — while m=4 probes recover recall
+    1.00 (the constant's docstring carries the measured curve).
+    Duplicate candidates from pairs sharing several blocks are
+    folded by a distinct() on the (id_a, id_b, cos) rows — cosine
+    is deterministic fixed-point, so the fold is exact. Validation:
+    recall == 1.0 against the exact all-pairs numpy ground truth on
+    the fixtures, precision exact by construction (every emitted
+    pair carries its true cosine) — tests/test_pipeline.py; no
+    DuckDB oracle (the iterative fit is not SQL-expressible),
+    driver records rows-only.
 
     Scale posture: one k-means fit (per-iteration map stage +
-    k·dim-bounded update), one shuffle of (cluster, id, vec) to
-    co-locate cluster members, pair expansion inside clusters only.
-    At 100 TB, k scales with corpus (SemDeDup used 110k clusters
-    for LAION) keeping Σ|cluster|² bounded; the fit cost stays one
-    scan per iteration regardless of k.
+    k·dim-bounded update), one shuffle of (block, id, vec) to
+    co-locate block members, pair expansion inside blocks only —
+    m× the single-probe shuffle volume, Σ|block|²/2 pair cost.
+    At fixture scale (n=500, k=10) blocking costs MORE than
+    all-pairs — the honest small-n regime; the asymptotic win
+    needs k ∝ n (SemDeDup used 110k clusters for LAION), giving
+    ~m²·n²/2k candidate pairs. The fit cost stays one scan per
+    iteration regardless of k, and the same clustering amortizes
+    across pipeline stages (topic_kmeans reuses it for domain
+    balancing).
     """
     emb = table(spark, sf_dir, "embeddings")
-    assigned, _cents, _hist = S.kmeans_fit(emb, k=10, iterations=3)
-    v = assigned.select(
-        F.col("id").alias("vec_id"), "cluster"
-    ).join(
+    _assigned, cents, _hist = S.kmeans_fit(emb, k=10, iterations=3)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(S._quant("embedding")).alias("qv"),
+    )
+    blocks = S.kmeans_assign_topm(
+        base, cents, m=_SEMDEDUP_PROBES
+    ).select("id", "block")
+    v = blocks.join(
         emb.select(
-            "vec_id",
+            F.col("vec_id").alias("id"),
             "embedding",
             S.norm2_q7("embedding").alias("n2"),
         ),
-        "vec_id",
+        "id",
     )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             S.cosine(
                 S.dot_q7("a.embedding", "b.embedding"),
                 F.col("a.n2"),
@@ -2877,4 +2902,5 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _COS_DUP_THRESHOLD)
+        .distinct()
     )

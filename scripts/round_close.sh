@@ -13,3 +13,12 @@ python scripts/gen_baseline.py
 python scripts/gen_status.py > STATUS.md
 python scripts/plan_audit.py > PLANS.md
 echo "round-close regeneration complete"
+# Run the FULL suite LAST (VERDICT r06 #3: the r06 snapshot shipped a
+# query whose own test failed because the close process never ran
+# pytest — the staleness pins and recall pins only protect the round
+# if this gate actually executes before the final commit). Skip only
+# with ROUND_CLOSE_SKIP_TESTS=1 and say so in the commit message.
+if [ "${ROUND_CLOSE_SKIP_TESTS:-0}" != "1" ]; then
+    python -m pytest tests/ -q
+fi
+echo "round-close gate green"

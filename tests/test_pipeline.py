@@ -342,7 +342,7 @@ def _kmeans_numpy(sf_dir: str, k: int, iterations: int):
                 # floor division, matching the operator's Python //
                 cents[j] = np.floor_divide(m.sum(axis=0), len(m))
     a, dmin = assign(cents)
-    return ids, a + 1, dmin, inertia_hist
+    return ids, a + 1, dmin, inertia_hist, (q, cents)
 
 
 def test_topic_kmeans_assignments_match_numpy_exactly(spark):
@@ -353,7 +353,7 @@ def test_topic_kmeans_assignments_match_numpy_exactly(spark):
         _KMEANS_K,
     )
 
-    ids, clusters, sqd, _ = _kmeans_numpy(SF_DIR, _KMEANS_K, _KMEANS_ITERS)
+    ids, clusters, sqd, _, _ = _kmeans_numpy(SF_DIR, _KMEANS_K, _KMEANS_ITERS)
     expected = {
         int(i): (int(c), int(d)) for i, c, d in zip(ids, clusters, sqd)
     }
@@ -371,7 +371,7 @@ def test_topic_kmeans_assignments_match_numpy_exactly(spark):
 def test_topic_kmeans_query_shape_and_exact_aggregates(spark):
     from database_join_spark.queries.pipeline import _KMEANS_ITERS, _KMEANS_K
 
-    ids, clusters, sqd, _ = _kmeans_numpy(SF_DIR, _KMEANS_K, _KMEANS_ITERS)
+    ids, clusters, sqd, _, _ = _kmeans_numpy(SF_DIR, _KMEANS_K, _KMEANS_ITERS)
     rows = REGISTRY["topic_kmeans"].fn(spark, SF_DIR).collect()
     assert [r["cluster"] for r in rows] == list(range(1, _KMEANS_K + 1))
     assert sum(r["n_members"] for r in rows) == len(ids)
@@ -394,6 +394,59 @@ def test_topic_kmeans_objective_is_monotone_nonincreasing(spark):
     assert len(hist) == 4
     # Lloyd's with exact arithmetic can never increase the objective
     assert all(a >= b for a, b in zip(hist, hist[1:]))
+
+
+def test_kmeans_assign_topm_matches_numpy_stable_argsort(spark):
+    """Multi-probe blocking must emit EXACTLY the m nearest centroids
+    per vector, ties broken to the lowest cluster index — pinned
+    bit-for-bit against numpy argsort(kind='stable') on the same
+    exact-int64 distances (dedup_semantic's blocking contract)."""
+    import numpy as np
+
+    from database_join_spark.catalog import table
+    from database_join_spark.operators.similarity import (
+        _quant,
+        kmeans_assign_topm,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    _, cents, _ = kmeans_fit(emb, k=10, iterations=3)
+
+    ids, _, _, _, (q, np_cents) = _kmeans_numpy(SF_DIR, 10, 3)
+    assert [list(c) for c in np_cents] == cents  # same fit first
+    d = ((q[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(axis=2)
+    m = 3
+    expected = {
+        (int(i), int(b) + 1)
+        for i, row in zip(ids, np.argsort(d, axis=1, kind="stable")[:, :m])
+        for b in row
+    }
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(_quant("embedding")).alias("qv"),
+    )
+    got = {
+        (r["id"], r["block"])
+        for r in kmeans_assign_topm(base, cents, m=m).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_fit_clamps_k_to_row_count(spark):
+    """k larger than the input row count must degrade gracefully
+    (every row its own cluster) instead of IndexError in the
+    centroid-update loop."""
+    from database_join_spark.catalog import table
+    from database_join_spark.operators.similarity import kmeans_fit
+
+    emb = table(spark, SF_DIR, "embeddings").filter("vec_id < 3")
+    assigned, cents, _ = kmeans_fit(emb, k=10, iterations=2)
+    assert len(cents) == 3
+    rows = assigned.collect()
+    assert len(rows) == 3
+    assert all(r["sqdist"] == 0 for r in rows)  # each row sits on its seed
 
 
 # --------------------------------------------------------------------------

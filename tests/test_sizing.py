@@ -158,3 +158,63 @@ def test_estimate_top_share_detects_planted_hot_key(spark):
     flat = spark.range(0, 200_000).select(F.col("id").alias("g"))
     flat_share = estimate_top_share(flat, ["g"], fraction=0.05)
     assert flat_share is not None and flat_share < 0.01, flat_share
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefilter decision (VERDICT r06 #7): the BLOOM_JOIN_PROBE
+# envelope as pinned thresholds, and the registry query whose plan
+# actually changes with the estimate.
+# --------------------------------------------------------------------------
+def test_decide_prefilter_envelope():
+    from database_join_spark.plans.sizing import (
+        PREFILTER_MAX_SURVIVOR_FRAC,
+        decide_prefilter,
+    )
+
+    # the probe's exact shape: 1e6 dim keys over a 1e8-key probe
+    # domain → survivor ~0.067 + fp — prune applies (measured 1.59×)
+    s = decide_prefilter(1_000_000, 100_000_000)
+    assert s.apply
+    assert s.bits == 1 << 24  # 16 bits/key rounded up to a pow2
+    assert 0.0 < s.survivor_frac < PREFILTER_MAX_SURVIVOR_FRAC
+    # unselective dim: every probe key matches — prune never pays
+    assert not decide_prefilter(1_000_000, 1_000_000).apply
+    assert not decide_prefilter(500_000, 1_000_000).apply  # 50% > 25%
+    # bitmap width bounds: tiny dims floor at 2^17, huge dims cap at
+    # 2^27 (past that the dim should bucket, not bloom)
+    assert decide_prefilter(10, 1_000_000).bits == 1 << 17
+    assert decide_prefilter(1 << 30, 1 << 40).bits == 1 << 27
+
+
+def test_join_bloom_prefilter_plan_follows_estimate(spark):
+    """The gated query's plan must GAIN the bitmap broadcast join on
+    a selective dim and LOSE it on an unselective one — the estimate
+    drives the plan, not a hand-written constant."""
+    from database_join_spark.plans.sizing import plan_prefilter
+    from tests.conftest import SF_DIR
+
+    from database_join_spark.catalog import table
+    from database_join_spark.queries import load_all
+
+    reg = load_all()
+    fact = table(spark, SF_DIR, "lineitem").select("l_partkey")
+    sel_dim = (
+        table(spark, SF_DIR, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    full_dim = table(spark, SF_DIR, "part").select("p_partkey")
+    assert plan_prefilter(fact, "l_partkey", sel_dim, "p_partkey").apply
+    assert not plan_prefilter(
+        fact, "l_partkey", full_dim, "p_partkey"
+    ).apply
+    # and the registry query (selective dim) carries the prune: the
+    # bitmap word join's hash position shows up in the optimized plan
+    plan = (
+        reg["join_bloom_prefilter"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan and "bit_or" in plan
