@@ -181,15 +181,50 @@ def _throughput(spark) -> dict[str, float]:
             "overwrite"
         ).saveAsTable("bench_li_orders")
         build_sec = time.perf_counter() - t0
-        runs = []
-        for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
+
+        def _bucketed_join():
             bi = spark.table("bench_li_items")
             bo = spark.table("bench_li_orders")
+            return bo.join(
+                bi.hint("shuffle_hash"), bi.id == bo.item_id
+            ).agg(
+                F.expr("sum(price * quantity) DIV count(*)").alias(
+                    "avg_val"
+                )
+            )
+
+        runs = []
+        for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
             t0 = time.perf_counter()
-            bo.join(bi.hint("shuffle_hash"), bi.id == bo.item_id).agg(
-                F.expr("sum(price * quantity) DIV count(*)").alias("avg_val")
-            ).collect()
+            _bucketed_join().collect()
             runs.append(time.perf_counter() - t0)
+
+        # Cached-columnar arm (VERDICT r06 #5): LARGE_INNER_PROBE's
+        # best arm (1.43 s vs 2.27 s bucketed-cold) promoted from
+        # probe to tracked row — the reference's RAM-resident arrays
+        # (q4112_main.c mmap'd columns) compared like-for-like: both
+        # sides cacheTable'd, the SAME co-located join over
+        # InMemoryTableScan. One-time materialize cost reported
+        # alongside, same discipline as the bucketed build cost.
+        # Memory decision note: at this shape the cache holds
+        # ~1.1e8 rows × 3-4 int columns ≈ 4 GB columnar — well
+        # inside the 128 GiB heap; at 100 TB the same arm is
+        # per-executor storage-memory bounded, which is why the
+        # uncached bucketed row stays the headline steady-state
+        # number and this row records the hot ceiling.
+        spark.catalog.cacheTable("bench_li_items")
+        spark.catalog.cacheTable("bench_li_orders")
+        t0 = time.perf_counter()
+        spark.table("bench_li_items").count()
+        spark.table("bench_li_orders").count()
+        cache_sec = time.perf_counter() - t0
+        cruns = []
+        for _ in range(min(REPEATS, 3) + 1):  # first = warm-up
+            t0 = time.perf_counter()
+            _bucketed_join().collect()
+            cruns.append(time.perf_counter() - t0)
+        spark.catalog.uncacheTable("bench_li_items")
+        spark.catalog.uncacheTable("bench_li_orders")
     finally:
         spark.sql("DROP TABLE IF EXISTS bench_li_items")
         spark.sql("DROP TABLE IF EXISTS bench_li_orders")
@@ -204,6 +239,19 @@ def _throughput(spark) -> dict[str, float]:
     print(
         f"# large_inner_bucketed: {sec:.2f} s {runs} "
         f"(one-time bucketed build {build_sec:.1f} s)",
+        file=sys.stderr,
+    )
+    ctimed = cruns[1:]
+    csec = min(ctimed)
+    out["large_inner_cached_sec"] = round(csec, 4)
+    out["large_inner_cached_runs"] = [round(r, 4) for r in ctimed]
+    out["large_inner_cached_materialize_sec"] = round(cache_sec, 2)
+    out["large_inner_cached_gtuples_per_sec"] = round(
+        li_cfg.outer_tuples / csec / 1e9, 4
+    )
+    print(
+        f"# large_inner_cached: {csec:.2f} s {cruns} "
+        f"(one-time cache materialize {cache_sec:.1f} s)",
         file=sys.stderr,
     )
 

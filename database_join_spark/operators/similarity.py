@@ -486,3 +486,64 @@ def kmeans_assign_topm(
         )
         .select("id", "qv", F.explode("blocks").alias("block"))
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int,
+    iterations: int,
+    m: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate-pair scoring: exact-integer k-means fit →
+    multi-probe blocking (:func:`kmeans_assign_topm`, m nearest
+    centroids per vector) → exact quantized cosine on co-blocked
+    pairs only → pairs at or above ``threshold``, deduped across
+    blocks. The engine's one spelling of the recipe: the registry's
+    ``dedup_semantic`` query and the scale probe
+    (scripts/semdedup_probe.py) both call this, so what's probed is
+    what ships.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, each pair once.
+    Precision is exact by construction (every emitted pair carries
+    its true quantized cosine); recall misses exactly the true pairs
+    sharing none of their m probed clusters — the measured m-curve
+    lives on ``_SEMDEDUP_PROBES`` (queries/pipeline.py) and in
+    SEMDEDUP_PROBE.json.
+    """
+    _assigned, cents, _hist = kmeans_fit(
+        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
+    )
+    blocks = kmeans_assign_topm(base, cents, m=m).select("id", "block")
+    v = blocks.join(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("embedding"),
+            norm2_q7(vec_col).alias("n2"),
+        ),
+        "id",
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(
+                dot_q7("a.embedding", "b.embedding"),
+                F.col("a.n2"),
+                F.col("b.n2"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

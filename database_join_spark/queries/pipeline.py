@@ -2869,38 +2869,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     balancing).
     """
     emb = table(spark, sf_dir, "embeddings")
-    _assigned, cents, _hist = S.kmeans_fit(emb, k=10, iterations=3)
-    base = emb.select(
-        F.col("vec_id").alias("id"),
-        F.expr(S._quant("embedding")).alias("qv"),
-    )
-    blocks = S.kmeans_assign_topm(
-        base, cents, m=_SEMDEDUP_PROBES
-    ).select("id", "block")
-    v = blocks.join(
-        emb.select(
-            F.col("vec_id").alias("id"),
-            "embedding",
-            S.norm2_q7("embedding").alias("n2"),
-        ),
-        "id",
-    )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            S.cosine(
-                S.dot_q7("a.embedding", "b.embedding"),
-                F.col("a.n2"),
-                F.col("b.n2"),
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= _COS_DUP_THRESHOLD)
-        .distinct()
+    return S.semdedup_pairs(
+        emb,
+        k=10,
+        iterations=3,
+        m=_SEMDEDUP_PROBES,
+        threshold=_COS_DUP_THRESHOLD,
     )
