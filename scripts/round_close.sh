@@ -19,6 +19,9 @@ echo "round-close regeneration complete"
 # if this gate actually executes before the final commit). Skip only
 # with ROUND_CLOSE_SKIP_TESTS=1 and say so in the commit message.
 if [ "${ROUND_CLOSE_SKIP_TESTS:-0}" != "1" ]; then
+    # compileall catches syntax errors in files pytest never imports —
+    # exactly how the r07 probe script shipped broken (ADVICE r07).
+    python -m compileall -q scripts/ database_join_spark/ tests/ bench.py __spark_entry__.py
     python -m pytest tests/ -q
 fi
 echo "round-close gate green"

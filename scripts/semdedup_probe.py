@@ -13,7 +13,7 @@ Claims under test:
     shipped m pins recall 1.0 on the fixtures; here both are
     MEASURED at volume;
   * blocking economics: Σ|block|² candidate pairs vs the n²/2
-    all-pairs count and the n·m²/2k uniform-cluster model —
+    all-pairs count and the n²·m²/2k uniform-cluster model —
     the number that makes the recipe linear-ish at corpus scale;
   * pairs/s end-to-end (fit + blocking + pair scoring).
 
@@ -150,7 +150,7 @@ def main(sizes: list[int]) -> None:
                 .agg(
                     F.sum(
                         (F.col("count") * (F.col("count") - 1) / 2)
-                Explain    ).alias("p")
+                    ).alias("p")
                 )
                 .collect()[0]["p"]
             )
