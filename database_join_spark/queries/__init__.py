@@ -59,37 +59,38 @@ REGISTRY: dict[str, QuerySpec] = {}
 #:
 #: Rotation history: r06 gave first rows to all nine r06-born ids
 #: except ``dedup_semantic`` (committed with a failing recall test;
-#: the r06 VERDICT's one red — its first row lands this round
-#: instead) and refreshed the whole r02/r03 tail.
+#: the r06 VERDICT's one red — its first row landed r07 instead) and
+#: refreshed the whole r02/r03 tail. Rotation 6 (r08, VERDICT r07
+#: #5) rotates in the ENTIRE ≤r05 staleness tail — all 45 ids whose
+#: newest driver row is r05 plus ``stream_interval_join`` (r04, the
+#: oldest row on the board) — and rotates out the 50 ids that got
+#: fresh r07 rows. That fills 46 of the 50 slots; the headline set
+#: keeps the remaining 4 (``text_analysis`` sits out one round —
+#: its newest row is r07). After r08 no registry id's newest driver
+#: row is older than r06.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- first driver row: born r06, fixed + gated r07
-    "dedup_semantic",
-    # -- newest row r04 (rotation 5 staleness tail)
-    "agg_quantile_exact", "anomaly_zscore", "bpe_pair_counts",
-    "decontam_bloom", "dedup_substring", "event_funnel",
-    "heavy_hitters_approx", "join_asof", "join_range_binned",
-    "ngram_counts", "retention_cohorts", "sample_hash_split",
-    "seq_len_hist", "sessionize_events", "text_vocab",
-    "distinct_hll_sketch",
-    # -- newest row r05: born-r05 cohort keeps a second row
-    "agg_repartition_first", "dedup_substring_apply",
-    "quality_gopher_rules",
-    # -- newest row r06: born-r06 cohort keeps a second row
-    "agg_avg_int_ext", "join_bloom_prefilter", "variant_json",
-    "join_salted", "sample_weighted", "agg_argmax",
-    "chunk_documents", "quality_lm_surprisal", "topic_kmeans",
-    # -- r06-refreshed udf/stream/asof + pipeline cohort (retained)
-    "udf_grouped", "udf_grouped_agg", "stream_sliding",
-    "join_asof_bucketed",
-    "corpus_clean", "corpus_mix", "decontam_ngram", "dedup_clusters",
-    "dedup_first_event", "dedup_incremental", "embed_quantize",
-    "pack_sequences", "pii_scrub", "quality_repetition",
-    "sample_stratified", "tfidf_terms",
+    # -- newest row r04: the single oldest id on the board
+    "stream_interval_join",
+    # -- newest row r05 (rotation 6 staleness tail, complete)
+    "agg_distinct", "agg_grouping_sets", "agg_partial_cache",
+    "agg_quantile_approx", "agg_salted", "approx_distinct_fm",
+    "array_map_json", "datagen_synthetic", "decontam_minhash",
+    "dedup_embed_cosine", "dedup_exact_survivors", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "filter_semijoin_sel",
+    "higher_order_funcs", "join_broadcast", "join_hash_multi",
+    "join_hash_single", "join_nlj_multi", "join_nlj_single",
+    "join_outer", "join_range", "join_semi_anti", "join_sortmerge",
+    "pivot_wide", "project_expr", "scalar_funcs", "scan_columnar",
+    "set_ops", "simsearch_embed", "simsearch_ivf", "simsearch_lsh",
+    "sort_limit", "source_synthdocs", "stream_session",
+    "stream_tumbling", "text_langid", "text_quality", "text_winnow",
+    "udf_surface", "udtf_surface", "window_analytic",
+    "window_distribution", "window_rank_topk",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
-    #    is re-proven under the driver every round)
+    #    is re-proven under the driver every round; text_analysis
+    #    rejoins next rotation)
     "agg_scalar_avg",
     "agg_groupby_avg", "agg_avg_of_avgs", "dedup_exact",
-    "text_analysis",
 })
 
 #: The driver caps CORRECTNESS at 50 rows (CORRECTNESS_r01 cut the

@@ -1293,14 +1293,14 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 38b. decontam_bloom — bloom-prefiltered decontamination, exact result
 # --------------------------------------------------------------------------
-#: Bloom bitmap width: 2^17 bits ≈ 16 bits per eval shingle at
-#: fixture scale (k=1 → fpr ≈ n/m ≈ 6%); production sizes this from
-#: an approx_count_distinct pre-pass over the eval split.
+#: Bloom bitmap width fallback (2^17 bits — operators/bloom's
+#: default). Since round 8 the WIDTH AND THE APPLY DECISION are
+#: estimate-driven: _bloom_frames runs plans/sizing.plan_prefilter
+#: (HLL over both shingle streams → decide_prefilter's measured
+#: BLOOM_JOIN_PROBE envelope: ≥16 bits/key, apply below ~25%
+#: survivors) — the same decision layer join_bloom_prefilter uses,
+#: so both Bloom consumers share one sizing model (VERDICT r07 #7).
 _BLOOM_BITS = 1 << 17
-
-
-def _bloom_pos(col: str):
-    return F.pmod(F.xxhash64(col), F.lit(_BLOOM_BITS))
 
 
 @query(
@@ -1354,7 +1354,7 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as dedup_minhash: cheap approximate prune, exact verify on
     the survivors.
     """
-    pre, _corpus, ev = _bloom_frames(spark, sf_dir)
+    pre, _corpus, ev, _sizing = _bloom_frames(spark, sf_dir)
     return (
         pre.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
@@ -1363,8 +1363,15 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_frames(spark: SparkSession, sf_dir: str):
-    """(pre, corpus, ev): the bloom-surviving corpus shingle stream,
-    the unfiltered stream, and the distinct eval shingles."""
+    """(pre, corpus, ev, sizing): the bloom-surviving corpus shingle
+    stream, the unfiltered stream, the distinct eval shingles, and
+    the PrefilterSizing that chose the plan. Estimate-driven since
+    round 8: plan_prefilter's HLL passes size the bitmap (≥16
+    bits/key, bounded 2^17..2^27) and decide whether the prune pays
+    at all — when the eval shingle set covers too much of the corpus
+    stream (≥ ~25% survivors) the bitmap tier is dropped and the
+    exact verify join runs on the raw stream, which is the same
+    exact result at lower cost."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", T.tokens("text").alias("toks")
@@ -1383,19 +1390,27 @@ def _bloom_frames(spark: SparkSession, sf_dir: str):
     corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
-    pre = B.prefilter(
-        corpus, "shingle", B.bitmap_of(ev, "shingle", _BLOOM_BITS),
-        _BLOOM_BITS,
-    )
-    return pre, corpus, ev
+    from database_join_spark.plans.sizing import plan_prefilter
+
+    sizing = plan_prefilter(corpus, "shingle", ev, "shingle")
+    if sizing.apply:
+        pre = B.prefilter(
+            corpus,
+            "shingle",
+            B.bitmap_of(ev, "shingle", sizing.bits),
+            sizing.bits,
+        )
+    else:
+        pre = corpus
+    return pre, corpus, ev, sizing
 
 
 def _bloom_survivor_counts(spark: SparkSession, sf_dir: str):
-    """(survivors, total) corpus-shingle counts around the bitmap —
-    test diagnostic proving the pre-filter prunes, not vacuously
-    passes."""
-    pre, corpus, _ev = _bloom_frames(spark, sf_dir)
-    return pre.count(), corpus.count()
+    """(survivors, total, sizing) corpus-shingle counts around the
+    bitmap — test diagnostic proving the pre-filter prunes, not
+    vacuously passes, and that the sizing decision matches."""
+    pre, corpus, _ev, sizing = _bloom_frames(spark, sf_dir)
+    return pre.count(), corpus.count(), sizing
 
 
 # --------------------------------------------------------------------------

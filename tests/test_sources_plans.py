@@ -225,12 +225,20 @@ def test_decontam_bloom_bitmap_actually_prunes(spark):
     """A bitmap that passes everything would still be 'exact' after
     the verify join — pin that the pre-filter rejects the bulk of
     non-contaminated corpus shingles (fpr ≈ 6% at 16 bits/key, so
-    survivors ≪ corpus stream)."""
+    survivors ≪ corpus stream), and that the estimate-driven sizing
+    (round 8: decide_prefilter, the same envelope as
+    join_bloom_prefilter) chose to apply the prune with a ≥16
+    bits/key bitmap whose survivor model the measurement confirms."""
     from database_join_spark.queries.pipeline import (
         _bloom_survivor_counts,
     )
-    survivors, total = _bloom_survivor_counts(spark, SF_DIR)
+    survivors, total, sizing = _bloom_survivor_counts(spark, SF_DIR)
+    assert sizing.apply, sizing
+    assert sizing.bits >= 16 * sizing.est_dim_keys * 0.95, sizing
     assert survivors < 0.5 * total, (survivors, total)
+    # measured survivor share is inside the model's envelope: the
+    # decision said < 25%, the measurement must agree
+    assert survivors / total < 0.25, (survivors, total, sizing)
 
 
 def test_sessionize_single_exchange(spark):

@@ -1,0 +1,73 @@
+"""Pins for the statistics catalog (plans/stats.py, VERDICT r07 #4):
+the HLL estimate must be paid once per table version and read from
+the catalog thereafter, the decision must always be re-derived from
+the cached statistic, and version drift (new key) must recompute."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from database_join_spark.plans.sizing import FAST_MAP_MIN_BIT
+from database_join_spark.plans.stats import (
+    cached_statistic,
+    parquet_table_key,
+    plan_for_cached,
+)
+
+
+def test_cached_statistic_computes_once(tmp_path):
+    path = tmp_path / "stats.json"
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return 42
+
+    v1, hit1 = cached_statistic("t1", "groups", compute, path=path)
+    v2, hit2 = cached_statistic("t1", "groups", compute, path=path)
+    assert (v1, hit1) == (42, False)
+    assert (v2, hit2) == (42, True)
+    assert len(calls) == 1
+    # a different table version (key) recomputes
+    v3, hit3 = cached_statistic("t1-v2", "groups", compute, path=path)
+    assert (v3, hit3) == (42, False)
+    assert len(calls) == 2
+
+
+def test_torn_catalog_file_is_empty_not_fatal(tmp_path):
+    path = tmp_path / "stats.json"
+    path.write_text("{ not json")
+    v, hit = cached_statistic("t", "s", lambda: 7, path=path)
+    assert (v, hit) == (7, False)
+    # and the recompute repaired the file
+    assert json.loads(path.read_text())["t|stat=s"] == 7
+
+
+def test_plan_for_cached_skips_scan_on_hit(spark, tmp_path):
+    path = tmp_path / "stats.json"
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("g"), F.col("id").alias("v")
+    )
+    s1, hit1 = plan_for_cached(df, ["g"], "tbl:v1", path=path)
+    assert hit1 is False
+    assert s1.capacity_bit == FAST_MAP_MIN_BIT  # 50 groups: default
+    # hit path: a df whose scan would EXPLODE proves no scan happens
+    bomb = spark.range(10).select(
+        F.raise_error(F.lit("scan must not run")).alias("g")
+    )
+    s2, hit2 = plan_for_cached(bomb, ["g"], "tbl:v1", path=path)
+    assert hit2 is True
+    assert s2 == s1  # decision re-derived from the cached statistic
+
+
+def test_parquet_table_key_tracks_version(tmp_path):
+    d = tmp_path / "tbl"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    k1 = parquet_table_key(str(d))
+    assert "part-0.parquet:4:" in k1
+    f.write_bytes(b"aaaaaa")  # rewrite -> new size -> new key
+    assert parquet_table_key(str(d)) != k1
