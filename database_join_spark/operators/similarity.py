@@ -17,8 +17,11 @@ Two paths:
   At 100 TB: signatures are one linear scan; the bucket join shuffles
   (bucket, id, vec) only for same-bucket pairs.
 
-All JVM expressions (zip_with/aggregate) — no Python in the scoring
-loop.
+JVM expressions (zip_with/aggregate) everywhere EXCEPT the SemDeDup
+within-block scorer, which is an Arrow-batched tiled numpy GEMM
+(``_block_scorer`` — the one place the matrix-product shape beats
+any per-row SQL spelling by orders of magnitude; exactness argument
+in its docstring).
 """
 
 from __future__ import annotations
@@ -519,31 +522,116 @@ def semdedup_pairs(
     base = emb.select(
         F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
     )
-    blocks = kmeans_assign_topm(base, cents, m=m).select("id", "block")
-    v = blocks.join(
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("embedding"),
-            norm2_q7(vec_col).alias("n2"),
-        ),
-        "id",
+    blocks = kmeans_assign_topm(base, cents, m=m)
+    scored = blocks.groupBy("block").applyInPandas(
+        _block_scorer(threshold),
+        schema="id_a long, id_b long, dot long, n2_a long, n2_b long",
     )
-    a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+        scored.select(
+            "id_a",
+            "id_b",
             cosine(
-                dot_q7("a.embedding", "b.embedding"),
-                F.col("a.n2"),
-                F.col("b.n2"),
+                F.col("dot"), F.col("n2_a"), F.col("n2_b")
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+#: Tile budget for the per-block GEMM: ≤ 2^24 f64 cells (128 MiB)
+#: per partial product, so a skewed block degrades to more tiles,
+#: never to an OOM-sized matrix.
+_GEMM_TILE_CELLS = 1 << 24
+
+
+def _block_scorer(threshold: float):
+    """Per-block pairwise scorer for :func:`semdedup_pairs` — a tiled
+    numpy GEMM over the block's quantized vectors, run behind
+    ``applyInPandas`` (Arrow-batched; one task per block).
+
+    Why Python here when the engine's rule is JVM-first: SemDeDup's
+    within-block scoring IS a dense matrix product (the paper's own
+    implementation is batched GEMM), and the measured gap is
+    decisive — the r07 join+higher-order-fold spelling scored 1.4M
+    candidate pairs/s (2.3M with pre-quantized arrays; the unrolled
+    64-term sum was WORSE at 0.4M — it falls out of codegen), which
+    priced the 1M-vector probe arm at ~10 hours; BLAS GEMM does the
+    same exact arithmetic orders of magnitude faster and never
+    materializes the s² pair rows in the join machinery at all. The
+    shuffle moves each vector m times (the blocking), not the pair
+    mass — strictly less wire than the join spelling.
+
+    Exactness is NOT sacrificed: quantized coordinates are integers,
+    and a float64 GEMM over integer-valued inputs is bit-exact while
+    every intermediate stays ≤ 2^53 — dim·max(|q|)² < 2^53, true for
+    unit-scale embeddings (64·(1e7)² ≈ 6.4e15 < 9.0e15) and checked
+    per block; a block that exceeds it falls back to int64 GEMM
+    (exact to 2^63). The emitted (dot, n2_a, n2_b) are therefore the
+    SAME int64s the JVM fold produced, and the cosine + threshold
+    decision still happens Spark-side in :func:`cosine` — so the
+    rounding/tiebreak contract pinned by tests is unchanged. The
+    numpy pre-filter keeps 1e-9 slack under the threshold so final
+    filtering never loses a boundary pair to the rounded comparison.
+    """
+    import numpy as np
+
+    slack = threshold - 1e-9
+
+    def score(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": np.empty(0, np.int64),
+                    "id_b": np.empty(0, np.int64),
+                    "dot": np.empty(0, np.int64),
+                    "n2_a": np.empty(0, np.int64),
+                    "n2_b": np.empty(0, np.int64),
+                }
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = np.stack(pdf["qv"].to_numpy())[order]
+        q = q.astype(np.int64, copy=False)
+        dim = q.shape[1]
+        amax = int(np.abs(q).max())
+        # float64 GEMM is exact while every partial sum stays an
+        # integer ≤ 2^53; otherwise int64 GEMM (exact to 2^63, no
+        # BLAS but still vectorized)
+        f64_exact = dim * amax * amax < (1 << 53)
+        mat = q.astype(np.float64) if f64_exact else q
+        n2 = np.einsum("ij,ij->i", q, q)  # int64, exact
+        inv = 1.0 / np.sqrt(n2.astype(np.float64))
+        rows = max(1, _GEMM_TILE_CELLS // n)
+        out_a, out_b, out_d = [], [], []
+        for i0 in range(0, n - 1, rows):
+            i1 = min(i0 + rows, n)
+            g = mat[i0:i1] @ mat.T  # (i1-i0) × n
+            cos = g.astype(np.float64) * inv[i0:i1, None] * inv[None, :]
+            # upper triangle only: column index > absolute row index
+            ii, jj = np.nonzero(
+                (cos >= slack)
+                & (np.arange(n)[None, :] > np.arange(i0, i1)[:, None])
+            )
+            out_a.append(ids[ii + i0])
+            out_b.append(ids[jj])
+            out_d.append(np.asarray(g[ii, jj], dtype=np.int64))
+        ia = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        ib = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        dd = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": ia,
+                "id_b": ib,
+                "dot": dd,
+                "n2_a": n2[np.searchsorted(ids, ia)],
+                "n2_b": n2[np.searchsorted(ids, ib)],
+            }
+        )
+
+    return score

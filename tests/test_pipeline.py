@@ -479,3 +479,48 @@ def test_dedup_semantic_recall_vs_exact_all_pairs(spark):
     assert got <= truth
     # recall: planted near-dups co-cluster (boundary straddle = miss)
     assert len(got & truth) / len(truth) == 1.0
+
+
+def test_semdedup_gemm_int64_fallback_exact(spark):
+    """The block scorer's float64 GEMM is bit-exact only while
+    dim·max(|q|)² < 2^53; coordinates past unit scale must take the
+    int64 GEMM path and still emit the exact quantized pairs. 8×
+    scaled embeddings (|q| ≈ 8e7 → 64·6.4e15 ≫ 2^53) force the
+    fallback, and the emitted pair set must equal the exact numpy
+    int64 ground truth at the same threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from database_join_spark.catalog import table
+    from database_join_spark.operators.similarity import semdedup_pairs
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x * 8.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(
+            emb, k=10, iterations=3, m=4, threshold=0.4
+        ).collect()
+    }
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    e = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    # same float pipeline as the operator: float32 ×8, then quantize
+    e8 = (e.astype(np.float32) * np.float32(8.0)).astype(np.float64)
+    q = np.floor(e8 * 10_000_000).astype(np.int64)
+    dots = q @ q.T
+    n2 = np.diag(dots).astype(np.float64)
+    cos = dots / np.sqrt(n2[:, None] * n2[None, :])
+    iu = np.triu_indices(len(ids), k=1)
+    hits = cos[iu] >= 0.4
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][hits], ids[iu[1]][hits])
+    }
+    assert got <= truth
+    assert len(got & truth) / len(truth) == 1.0
