@@ -166,30 +166,25 @@ def hyperplane_signature(
     return F.expr(" + ".join(planes))
 
 
-def ivf_topk(
+def ivf_index(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """ANN top-k via IVF (inverted-file) coarse quantization.
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Build the IVF index state: the cell-assigned corpus table
+    ``(neighbor_id, c_vec, cell, c_n2)`` plus the centroid list.
 
-    A KMeans coarse quantizer (spark.ml, seeded) partitions the
-    corpus into ``n_centroids`` cells; each query probes its
-    ``n_probe`` nearest cells and rescores exactly (quantized cosine)
-    only within them — expected cost |corpus|·n_probe/n_centroids per
-    query. At 100 TB: train the quantizer on a sample, store the cell
-    id as a partition column so a probe is a partition-pruned scan;
-    centroids are driver-side constants (n_centroids × dim floats),
-    broadcast implicitly as literals.
-    """
+    This is the ONE-per-corpus pass that :func:`ivf_topk` otherwise
+    re-pays per query batch (KMeans fit + assignment + norms). The
+    100 TB posture is to MATERIALIZE it: write the returned frame
+    with ``.write.partitionBy("cell").parquet(...)`` so each probe
+    is a dynamic-partition-pruned scan, and keep the centroids with
+    the table metadata — then every query batch costs only its
+    probed cells (ANN_PROBE's cached arms measure exactly this)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
 
     corpus_fv = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -202,13 +197,54 @@ def ivf_topk(
     corpus = model.transform(corpus_fv).select(
         "neighbor_id", "c_vec", "cell", norm2_q7("c_vec").alias("c_n2")
     )
-
-    # centroid table as literals (driver-side constants, like the LSH
-    # hyperplanes); n_probe nearest cells per query via a tiny window
     centroids = [
         (int(cid), [float(x) for x in center])
         for cid, center in enumerate(model.clusterCenters())
     ]
+    return corpus, centroids
+
+
+def ivf_topk(
+    vectors: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: tuple[DataFrame, list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization.
+
+    A KMeans coarse quantizer (spark.ml, seeded) partitions the
+    corpus into ``n_centroids`` cells; each query probes its
+    ``n_probe`` nearest cells and rescores exactly (quantized cosine)
+    only within them — expected cost |corpus|·n_probe/n_centroids per
+    query. At 100 TB: train the quantizer on a sample, store the cell
+    id as a partition column so a probe is a partition-pruned scan;
+    centroids are driver-side constants (n_centroids × dim floats),
+    broadcast implicitly as literals.
+
+    Pass ``index`` (from :func:`ivf_index`, possibly read back from
+    its stored parquet) to skip the per-corpus fit/assign pass —
+    the stored-index regime where ANN beats brute force even at
+    small query counts."""
+    from pyspark.sql import Window
+
+    if index is None:
+        corpus, centroids = ivf_index(
+            vectors,
+            n_centroids=n_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+        )
+    else:
+        corpus, centroids = index
+
+    # centroid table as literals (driver-side constants, like the LSH
+    # hyperplanes); n_probe nearest cells per query via a tiny window
     cent_df = queries.sparkSession.createDataFrame(
         centroids, "cell INT, centroid ARRAY<DOUBLE>"
     )
@@ -251,6 +287,39 @@ def ivf_topk(
     )
 
 
+def lsh_corpus_buckets(
+    df: DataFrame,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """The corpus-side LSH state: ``(out_id, tid, bucket)`` — one row
+    per (vector, table). This is the one-per-corpus signature pass
+    :func:`lsh_topk` otherwise re-pays per query batch; the 100 TB
+    posture is to MATERIALIZE it once (``.write.parquet(...)``,
+    optionally bucketed by (tid, bucket)) and hand it back via
+    ``lsh_topk(..., corpus_buckets=...)``. The hyperplanes are
+    seeded constants, so a stored table stays valid until the corpus
+    itself changes."""
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tid"),
+                hyperplane_signature(vec_col, bits, dim, t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(sigs).alias("tb")
+    ).select(out_id, "tb.tid", "tb.bucket")
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -260,6 +329,7 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: exact rescoring restricted to candidates that share
     a bucket with the query in ANY of ``tables`` independent LSH
@@ -272,29 +342,26 @@ def lsh_topk(
     are fetched once per distinct candidate pair. Recall < 1 by
     construction (pytest pins a floor on fixtures); cost drops from
     O(|corpus|·|queries|) to the bucket-collision mass.
+
+    Pass ``corpus_buckets`` (from :func:`lsh_corpus_buckets`, read
+    back from its stored table) to skip the corpus signature pass —
+    it must have been built with the SAME bits/tables/dim (the
+    hyperplanes are seeded by (table_id, bit), so equal knobs ⇒
+    equal signatures).
     """
     from pyspark.sql import Window
 
-    def with_buckets(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tid"),
-                    hyperplane_signature(vec_col, bits, dim, t).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(tables)
-            ]
+    if corpus_buckets is None:
+        corpus_buckets = lsh_corpus_buckets(
+            vectors, bits, tables, dim, id_col, vec_col
         )
-        return df.select(
-            F.col(idc).alias(out_id), F.explode(sigs).alias("tb")
-        ).select(out_id, "tb.tid", "tb.bucket")
-
     cand = (
-        with_buckets(vectors, id_col, "neighbor_id")
-        .join(
-            F.broadcast(with_buckets(queries, id_col, "query_id")),
+        corpus_buckets.join(
+            F.broadcast(
+                lsh_corpus_buckets(
+                    queries, bits, tables, dim, id_col, vec_col, "query_id"
+                )
+            ),
             on=["tid", "bucket"],
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))

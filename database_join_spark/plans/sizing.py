@@ -209,13 +209,18 @@ def decide_prefilter(
     BLOOM_JOIN_PROBE envelope as code (VERDICT r06 #7), pytest-
     pinnable without a Spark pass.
 
-    The survivor model assumes probe keys roughly uniform over their
-    key domain (true for the TPC-H-ish foreign keys this serves):
-    match share ≈ dim_keys / probe_key_domain, and the non-matching
+    The survivor model assumes the dim keys are a subset of the
+    DISTINCT probe keys and probe rows are roughly uniform over
+    them (true for the TPC-H-ish foreign keys this serves): match
+    share ≈ dim_keys / distinct_probe_keys, and the non-matching
     remainder leaks through at the k=1 Bloom FP rate ≈ dim_keys /
-    bits. Both inputs are HLL estimates (one column-pruned scan
-    each, the same discipline as :func:`plan_for`); at 100 TB
-    production would read them from table statistics instead.
+    bits. When the probe references only a subset of the dim's key
+    domain the model overstates the match share — conservative: it
+    can only make the prune LESS likely to apply near the envelope.
+    Both inputs are HLL estimates (one column-pruned scan each, the
+    same discipline as :func:`plan_for`); at 100 TB production
+    would read them from table statistics instead (plans/stats.py
+    is that catalog).
     """
     est_d = max(int(est_dim_keys), 1)
     est_p = max(int(est_probe_keys), 1)

@@ -101,6 +101,62 @@ def probe_size(spark, n: int, n_queries: int = N_QUERIES) -> dict:
     ).collect()
     ivf_sec = time.perf_counter() - t0
 
+    # ---- stored-index arms (VERDICT r06 #8 / r07 #6): materialize
+    # the corpus-side state as parquet tables — the operators' own
+    # documented 100 TB posture — then query against the STORED
+    # state. This is the regime where the per-corpus pass (signatures
+    # / KMeans fit+assign+norms) is built once and amortized across
+    # query batches, so ANN should beat brute force even at 20
+    # queries; the uncached arms above re-pay it per run.
+    spark = corpus.sparkSession
+    import shutil
+    import tempfile
+
+    idx_dir = tempfile.mkdtemp(prefix=f"ann_index_{n}_")
+    try:
+        t0 = time.perf_counter()
+        S.lsh_corpus_buckets(corpus, bits=8, tables=8, dim=DIM).write.mode(
+            "overwrite"
+        ).parquet(f"{idx_dir}/lsh")
+        lsh_build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lsh_c = S.lsh_topk(
+            corpus,
+            queries,
+            k=K,
+            bits=8,
+            tables=8,
+            dim=DIM,
+            corpus_buckets=spark.read.parquet(f"{idx_dir}/lsh"),
+        ).collect()
+        lsh_cached_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        ivf_corpus, cents = S.ivf_index(corpus, n_centroids=CLUSTERS)
+        # cell as partition column: each probe is a pruned scan
+        ivf_corpus.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{idx_dir}/ivf"
+        )
+        Path(idx_dir, "ivf_centroids.json").write_text(json.dumps(cents))
+        ivf_build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        stored_cents = [
+            (int(c), [float(x) for x in v])
+            for c, v in json.loads(
+                Path(idx_dir, "ivf_centroids.json").read_text()
+            )
+        ]
+        ivf_c = S.ivf_topk(
+            None,
+            queries,
+            k=K,
+            n_probe=8,
+            index=(spark.read.parquet(f"{idx_dir}/ivf"), stored_cents),
+        ).collect()
+        ivf_cached_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     corpus.unpersist()
     return {
         "vectors": n,
@@ -114,6 +170,14 @@ def probe_size(spark, n: int, n_queries: int = N_QUERIES) -> dict:
         "ivf_sec": round(ivf_sec, 2),
         "ivf_recall": round(recall_at_k(ivf, truth), 4),
         "ivf_speedup": round(bf_sec / ivf_sec, 2),
+        "lsh_index_build_sec": round(lsh_build_sec, 2),
+        "lsh_cached_sec": round(lsh_cached_sec, 2),
+        "lsh_cached_recall": round(recall_at_k(lsh_c, truth), 4),
+        "lsh_cached_speedup": round(bf_sec / lsh_cached_sec, 2),
+        "ivf_index_build_sec": round(ivf_build_sec, 2),
+        "ivf_cached_sec": round(ivf_cached_sec, 2),
+        "ivf_cached_recall": round(recall_at_k(ivf_c, truth), 4),
+        "ivf_cached_speedup": round(bf_sec / ivf_cached_sec, 2),
     }
 
 
