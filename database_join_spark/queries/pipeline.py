@@ -2872,13 +2872,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records rows-only.
 
     Scale posture: one k-means fit (per-iteration map stage +
-    k·dim-bounded update), one shuffle of (block, id, vec) to
-    co-locate block members, pair expansion inside blocks only —
-    m× the single-probe shuffle volume, Σ|block|²/2 pair cost.
-    At fixture scale (n=500, k=10) blocking costs MORE than
+    k·dim-bounded update), one shuffle of (block, id, qv) to
+    co-locate block members — m× the single-probe volume — then
+    within-block scoring as a tiled numpy GEMM behind applyInPandas
+    (operators/similarity._block_scorer; round 8 — the join +
+    higher-order-fold spelling measured 1.4M candidate pairs/s vs
+    the GEMM's 33–60M/s at the same exact-int64 semantics, see
+    SEMDEDUP_PROBE.json + BASELINE.md §SemDeDup), Σ|block|²/2 pair
+    cost. At fixture scale (n=500, k=10) blocking costs MORE than
     all-pairs — the honest small-n regime; the asymptotic win
     needs k ∝ n (SemDeDup used 110k clusters for LAION), giving
-    ~m²·n²/2k candidate pairs. The fit cost stays one scan per
+    ~m²·n²/2k candidate pairs — measured at 100k–1M vectors in
+    SEMDEDUP_PROBE.json. The fit cost stays one scan per
     iteration regardless of k, and the same clustering amortizes
     across pipeline stages (topic_kmeans reuses it for domain
     balancing).

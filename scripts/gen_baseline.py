@@ -34,6 +34,10 @@ DC_BEGIN = "<!-- DECONTAM_PROBE:BEGIN (generated — do not edit by hand) -->"
 DC_END = "<!-- DECONTAM_PROBE:END -->"
 RG_BEGIN = "<!-- REGROUP_PROBE:BEGIN (generated — do not edit by hand) -->"
 RG_END = "<!-- REGROUP_PROBE:END -->"
+AN_BEGIN = "<!-- ANN_PROBE:BEGIN (generated — do not edit by hand) -->"
+AN_END = "<!-- ANN_PROBE:END -->"
+SD_BEGIN = "<!-- SEMDEDUP_PROBE:BEGIN (generated — do not edit by hand) -->"
+SD_END = "<!-- SEMDEDUP_PROBE:END -->"
 
 #: Human-readable one-liners for spill_probe.py's config matrix.
 SPILL_LABELS = {
@@ -360,6 +364,72 @@ def render_regroup_probe() -> str:
     return "\n".join(lines)
 
 
+def render_ann_probe() -> str:
+    """ANN vs exact arms, including the stored-index (cached) regime
+    (VERDICT r07 #6), from ANN_PROBE.json."""
+    data = json.loads((REPO / "ANN_PROBE.json").read_text())
+    lines = [
+        "Artifact: `ANN_PROBE.json` (scripts/ann_probe.py, 64-dim "
+        "clustered corpora, recall@10 vs brute_force_topk, "
+        "local[32]). 'stored' arms query a MATERIALIZED index table "
+        "(LSH bucket parquet / cell-partitioned IVF parquet + JSON "
+        "centroids) — the per-corpus pass paid once at build, not "
+        "per query batch.",
+        "",
+        "| vectors | queries | brute s | LSH s (recall) "
+        "| IVF s (recall) | LSH stored s (×) | IVF stored s (×) "
+        "| index build LSH/IVF s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for p in data["points"] + [data["query_scaling"]]:
+        if "lsh_cached_sec" in p:
+            cached = (
+                f"| {p['lsh_cached_sec']} ({p['lsh_cached_speedup']}×) "
+                f"| {p['ivf_cached_sec']} ({p['ivf_cached_speedup']}×) "
+                f"| {p['lsh_index_build_sec']} / "
+                f"{p['ivf_index_build_sec']} |"
+            )
+        else:
+            cached = "| — | — | — |"
+        lines.append(
+            f"| {p['vectors']:,} | {p['queries']} | {p['brute_sec']} "
+            f"| {p['lsh_sec']} ({p['lsh_recall']:.2f}) "
+            f"| {p['ivf_sec']} ({p['ivf_recall']:.2f}) "
+            + cached
+        )
+    return "\n".join(lines)
+
+
+def render_semdedup_probe() -> str:
+    """SemDeDup scale table (VERDICT r07 #1) from
+    SEMDEDUP_PROBE.json."""
+    data = json.loads((REPO / "SEMDEDUP_PROBE.json").read_text())
+    lines = [
+        f"Artifact: `SEMDEDUP_PROBE.json` (scripts/semdedup_probe.py "
+        f"— the exact shipped operator, "
+        f"`operators/similarity.semdedup_pairs`: {data['dim']}-dim "
+        f"corpora with planted twins every {data['dup_every']} "
+        f"vectors, k = n/{data['vectors_per_cluster']:,} clusters "
+        f"(k ∝ n, the SemDeDup recipe), threshold "
+        f"{data['threshold']}, local[32]).",
+        "",
+        "| n | k | m | sec | recall | candidate pairs "
+        "| vs all-pairs | vs n²m²/2k model | pairs/s |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for pt in data["points"]:
+        for m, r in sorted(pt["ms"].items(), key=lambda kv: int(kv[0])):
+            lines.append(
+                f"| {pt['n_base']:,} | {pt['k']} | {m} "
+                f"| {r['sec_end_to_end']} | {r['recall_vs_planted']} "
+                f"| {r['candidate_pairs']:,} "
+                f"| {r['candidate_pairs'] / r['all_pairs']:.3f}× "
+                f"| {r['candidate_pairs'] / r['uniform_model_pairs']:.2f}× "
+                f"| {r['pairs_per_sec']:,} |"
+            )
+    return "\n".join(lines)
+
+
 def _splice(text: str, begin: str, end: str, body: str) -> str:
     pre, rest = text.split(begin, 1)
     _, post = rest.split(end, 1)
@@ -391,6 +461,10 @@ def main() -> None:
         text = _splice(text, DC_BEGIN, DC_END, render_decontam_probe())
     if RG_BEGIN in text and (REPO / "REGROUP_PROBE.json").exists():
         text = _splice(text, RG_BEGIN, RG_END, render_regroup_probe())
+    if AN_BEGIN in text and (REPO / "ANN_PROBE.json").exists():
+        text = _splice(text, AN_BEGIN, AN_END, render_ann_probe())
+    if SD_BEGIN in text and (REPO / "SEMDEDUP_PROBE.json").exists():
+        text = _splice(text, SD_BEGIN, SD_END, render_semdedup_probe())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 
