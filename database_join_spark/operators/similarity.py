@@ -590,7 +590,42 @@ def semdedup_pairs(
         F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
     )
     blocks = kmeans_assign_topm(base, cents, m=m)
-    scored = blocks.groupBy("block").applyInPandas(
+    # Chunk-pair parallelism: one task per BLOCK serializes on a
+    # skewed cluster (measured: a straggler block pinned the 300k
+    # probe arm to one core for 15+ min while 31 sat idle). Blocks
+    # larger than TARGET_CHUNK rows are hash-split into c chunks and
+    # every chunk PAIR (ca ≤ cb) becomes its own task: the Σ|block|²
+    # pair work is unchanged but spreads over c(c+1)/2 tasks. Price:
+    # each row of an oversized block replicates c times into the
+    # block's chunk-pair groups (c = ⌈s/TARGET⌉ — the shuffle grows
+    # only for blocks that need the parallelism; c=1 blocks pay
+    # nothing). Right-sized blocks (k ∝ n) keep c=1 everywhere and
+    # this is a no-op.
+    sizes = blocks.groupBy("block").agg(F.count(F.lit(1)).alias("s"))
+    chunks = sizes.select(
+        "block",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("s") / SEMDEDUP_TARGET_CHUNK)
+        )
+        .cast("int")
+        .alias("c"),
+    )
+    chunked = (
+        blocks.join(F.broadcast(chunks), "block")
+        .withColumn(
+            "ch", F.pmod(F.xxhash64("id"), F.col("c")).cast("int")
+        )
+        .withColumn("other", F.explode(F.expr("sequence(0, c - 1)")))
+        .select(
+            "block",
+            "id",
+            "qv",
+            "ch",
+            F.least("ch", "other").alias("ca"),
+            F.greatest("ch", "other").alias("cb"),
+        )
+    )
+    scored = chunked.groupBy("block", "ca", "cb").applyInPandas(
         _block_scorer(threshold),
         schema="id_a long, id_b long, dot long, n2_a long, n2_b long",
     )
@@ -612,11 +647,19 @@ def semdedup_pairs(
 #: never to an OOM-sized matrix.
 _GEMM_TILE_CELLS = 1 << 24
 
+#: Rows per GEMM chunk: a block bigger than this splits into chunk
+#: pairs so no single task owns more than ~TARGET² /2 ≈ 3.4e7 pair
+#: scores (~1 s of GEMM) — the straggler bound for skewed clusters.
+SEMDEDUP_TARGET_CHUNK = 8192
+
 
 def _block_scorer(threshold: float):
-    """Per-block pairwise scorer for :func:`semdedup_pairs` — a tiled
-    numpy GEMM over the block's quantized vectors, run behind
-    ``applyInPandas`` (Arrow-batched; one task per block).
+    """Per-chunk-pair pairwise scorer for :func:`semdedup_pairs` — a
+    tiled numpy GEMM over quantized vectors, run behind
+    ``applyInPandas`` (Arrow-batched; one task per (block, ca, cb)
+    chunk pair — ca == cb scores the within-chunk upper triangle,
+    ca < cb the full cross rectangle, so every block pair is emitted
+    exactly once before the cross-probe distinct()).
 
     Why Python here when the engine's rule is JVM-first: SemDeDup's
     within-block scoring IS a dense matrix product (the paper's own
@@ -646,58 +689,102 @@ def _block_scorer(threshold: float):
 
     slack = threshold - 1e-9
 
-    def score(pdf):
+    def _empty():
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": np.empty(0, np.int64),
-                    "id_b": np.empty(0, np.int64),
-                    "dot": np.empty(0, np.int64),
-                    "n2_a": np.empty(0, np.int64),
-                    "n2_b": np.empty(0, np.int64),
-                }
-            )
-        ids = pdf["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": np.empty(0, np.int64),
+                "id_b": np.empty(0, np.int64),
+                "dot": np.empty(0, np.int64),
+                "n2_a": np.empty(0, np.int64),
+                "n2_b": np.empty(0, np.int64),
+            }
+        )
+
+    def _prep(pdf, mask):
+        ids = pdf["id"].to_numpy()[mask]
+        q = (
+            np.stack(pdf["qv"].to_numpy()[mask])
+            .astype(np.int64, copy=False)
+            if mask.any()
+            else np.empty((0, 1), np.int64)
+        )
         order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        q = np.stack(pdf["qv"].to_numpy())[order]
-        q = q.astype(np.int64, copy=False)
-        dim = q.shape[1]
-        amax = int(np.abs(q).max())
+        return ids[order], q[order]
+
+    def score(key, pdf):
+        import pandas as pd
+
+        ca, cb = int(key[1]), int(key[2])
+        ch = pdf["ch"].to_numpy()
+        if ca == cb:
+            ids_a, qa = _prep(pdf, ch == ca)
+            ids_b, qb = ids_a, qa
+            triangle = True
+        else:
+            ids_a, qa = _prep(pdf, ch == ca)
+            ids_b, qb = _prep(pdf, ch == cb)
+            triangle = False
+        if len(ids_a) == 0 or len(ids_b) == 0 or (
+            triangle and len(ids_a) < 2
+        ):
+            return _empty()
+        dim = qa.shape[1]
+        amax = int(
+            max(np.abs(qa).max(), np.abs(qb).max())
+        )
         # float64 GEMM is exact while every partial sum stays an
         # integer ≤ 2^53; otherwise int64 GEMM (exact to 2^63, no
         # BLAS but still vectorized)
         f64_exact = dim * amax * amax < (1 << 53)
-        mat = q.astype(np.float64) if f64_exact else q
-        n2 = np.einsum("ij,ij->i", q, q)  # int64, exact
-        inv = 1.0 / np.sqrt(n2.astype(np.float64))
-        rows = max(1, _GEMM_TILE_CELLS // n)
-        out_a, out_b, out_d = [], [], []
-        for i0 in range(0, n - 1, rows):
-            i1 = min(i0 + rows, n)
-            g = mat[i0:i1] @ mat.T  # (i1-i0) × n
-            cos = g.astype(np.float64) * inv[i0:i1, None] * inv[None, :]
-            # upper triangle only: column index > absolute row index
-            ii, jj = np.nonzero(
-                (cos >= slack)
-                & (np.arange(n)[None, :] > np.arange(i0, i1)[:, None])
+        ma = qa.astype(np.float64) if f64_exact else qa
+        mb = qb.astype(np.float64) if f64_exact else qb
+        n2a = np.einsum("ij,ij->i", qa, qa)  # int64, exact
+        n2b = (
+            n2a if triangle else np.einsum("ij,ij->i", qb, qb)
+        )
+        inv_a = 1.0 / np.sqrt(n2a.astype(np.float64))
+        inv_b = 1.0 / np.sqrt(n2b.astype(np.float64))
+        nb = len(ids_b)
+        rows = max(1, _GEMM_TILE_CELLS // nb)
+        cols = np.arange(nb)
+        out = []
+        for i0 in range(0, len(ids_a), rows):
+            i1 = min(i0 + rows, len(ids_a))
+            g = ma[i0:i1] @ mb.T  # (i1-i0) × nb
+            cos = g.astype(np.float64) * inv_a[i0:i1, None] * inv_b[None, :]
+            hit = cos >= slack
+            if triangle:
+                # upper triangle: column index > absolute row index
+                hit &= cols[None, :] > np.arange(i0, i1)[:, None]
+            ii, jj = np.nonzero(hit)
+            if len(ii) == 0:
+                continue
+            a_id, b_id = ids_a[ii + i0], ids_b[jj]
+            a_n2, b_n2 = n2a[ii + i0], n2b[jj]
+            # normalize so id_a < id_b (cross-chunk pairs arrive in
+            # arbitrary id order; triangle pairs are ordered already)
+            swap = a_id > b_id
+            out.append(
+                (
+                    np.where(swap, b_id, a_id),
+                    np.where(swap, a_id, b_id),
+                    np.asarray(g[ii, jj], dtype=np.int64),
+                    np.where(swap, b_n2, a_n2),
+                    np.where(swap, a_n2, b_n2),
+                )
             )
-            out_a.append(ids[ii + i0])
-            out_b.append(ids[jj])
-            out_d.append(np.asarray(g[ii, jj], dtype=np.int64))
-        ia = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-        ib = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        dd = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        if not out:
+            return _empty()
+        cat = [np.concatenate(x) for x in zip(*out)]
         return pd.DataFrame(
             {
-                "id_a": ia,
-                "id_b": ib,
-                "dot": dd,
-                "n2_a": n2[np.searchsorted(ids, ia)],
-                "n2_b": n2[np.searchsorted(ids, ib)],
+                "id_a": cat[0],
+                "id_b": cat[1],
+                "dot": cat[2],
+                "n2_a": cat[3],
+                "n2_b": cat[4],
             }
         )
 

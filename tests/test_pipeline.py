@@ -543,6 +543,33 @@ def test_dedup_semantic_recall_vs_exact_all_pairs(spark):
     assert len(got & truth) / len(truth) == 1.0
 
 
+def test_semdedup_chunk_split_equals_unchunked(spark, monkeypatch):
+    """Chunk-pair parallelism (skewed-block straggler fix) must be
+    result-invariant: forcing every block to split (TARGET_CHUNK=40
+    at n=500 → ~13 chunks/block) must reproduce the unchunked pair
+    set AND cosines exactly — within-chunk triangles + cross-chunk
+    rectangles tile the block's pair set with no overlap, and the
+    arithmetic is the same exact int64 either way."""
+    from database_join_spark.catalog import table
+    from database_join_spark.operators import similarity as S
+
+    emb = table(spark, SF_DIR, "embeddings")
+
+    def pairs():
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in S.semdedup_pairs(
+                emb, k=10, iterations=3, m=4, threshold=0.4
+            ).collect()
+        )
+
+    base = pairs()
+    monkeypatch.setattr(S, "SEMDEDUP_TARGET_CHUNK", 40)
+    forced = pairs()
+    assert forced == base
+    assert base, "fixtures must plant semantic dups"
+
+
 def test_semdedup_gemm_int64_fallback_exact(spark):
     """The block scorer's float64 GEMM is bit-exact only while
     dim·max(|q|)² < 2^53; coordinates past unit scale must take the
