@@ -101,7 +101,11 @@ TAIL = """
 
 def main() -> None:
     reg = load_all()
-    print("# STATUS — operator coverage matrix (round 6)\n")
+    rounds = sorted(
+        int(p.stem.removeprefix("CORRECTNESS_r"))
+        for p in Path(_REPO).glob("CORRECTNESS_r*.json")
+    )
+    print(f"# STATUS — operator coverage matrix (round {rounds[-1]})\n")
     hist = driver_rows()
     print(
         "Generated by `python scripts/gen_status.py`. Every SURVEY §2 id\n"
