@@ -37,6 +37,8 @@ RG_END = "<!-- REGROUP_PROBE:END -->"
 AN_BEGIN = "<!-- ANN_PROBE:BEGIN (generated — do not edit by hand) -->"
 AN_END = "<!-- ANN_PROBE:END -->"
 SD_BEGIN = "<!-- SEMDEDUP_PROBE:BEGIN (generated — do not edit by hand) -->"
+G6_BEGIN = "<!-- GROUPS1E6_ADJ:BEGIN (generated — do not edit by hand) -->"
+G6_END = "<!-- GROUPS1E6_ADJ:END -->"
 SD_END = "<!-- SEMDEDUP_PROBE:END -->"
 
 #: Human-readable one-liners for spill_probe.py's config matrix.
@@ -430,6 +432,43 @@ def render_semdedup_probe() -> str:
     return "\n".join(lines)
 
 
+def render_groups1e6_adj() -> str:
+    """Cache-prelude adjudication table (VERDICT r07 #3) from
+    GROUPS1E6_ADJUDICATION.json."""
+    data = json.loads(
+        (REPO / "GROUPS1E6_ADJUDICATION.json").read_text()
+    )
+    a, b = data["a_isolated"], data["b_after_cache_arm"]
+    lines = [
+        "Artifact: `GROUPS1E6_ADJUDICATION.json` "
+        "(scripts/groups1e6_adjudicate.py — 1e9 rows, groups=1e6, "
+        "fresh JVM per arm, warm-up + 3 timed runs, min reported).",
+        "",
+        "| arm | prelude | runs (s) | min (s) | sizing |",
+        "|---|---|---|---|---|",
+    ]
+    for label, r in (
+        ("A — isolated", a),
+        ("B — after large_inner cache lifecycle", b),
+    ):
+        sz = r["sizing"]
+        prelude = (
+            f"{r['prelude_sec']} s build+cache+join+uncache"
+            if r["cache_prelude"]
+            else "none"
+        )
+        lines.append(
+            f"| {label} | {prelude} "
+            f"| {', '.join(str(x) for x in r['runs'])} | {r['min']} "
+            f"| est {sz['est_groups']:,} → bit {sz['capacity_bit']}, "
+            f"{sz['tasks_per_core']} task/core, cached="
+            f"{sz['estimate_cached']} |"
+        )
+    lines.append("")
+    lines.append(f"B vs A: **{data['delta_pct']:+.1f}%**.")
+    return "\n".join(lines)
+
+
 def _splice(text: str, begin: str, end: str, body: str) -> str:
     pre, rest = text.split(begin, 1)
     _, post = rest.split(end, 1)
@@ -465,6 +504,8 @@ def main() -> None:
         text = _splice(text, AN_BEGIN, AN_END, render_ann_probe())
     if SD_BEGIN in text and (REPO / "SEMDEDUP_PROBE.json").exists():
         text = _splice(text, SD_BEGIN, SD_END, render_semdedup_probe())
+    if G6_BEGIN in text and (REPO / "GROUPS1E6_ADJUDICATION.json").exists():
+        text = _splice(text, G6_BEGIN, G6_END, render_groups1e6_adj())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 
