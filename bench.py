@@ -164,22 +164,39 @@ def _throughput(spark) -> dict[str, float]:
     # one-time build cost recorded alongside. The co-located join is
     # spelled SHUFFLE_HASH, not MERGE: with both sides bucketed the
     # hint costs no exchange either way, and the per-bucket hash
-    # build (inner/32 ≈ 312k entries per task — the partitioned
-    # analogue of the reference's shared table, q4112_hj.c:73-74)
-    # measured 2.45 s vs the merge join's 3.92 s at this shape.
+    # build is the partitioned analogue of the reference's shared
+    # table (q4112_hj.c:73-74); hash measured 2.45 s vs the merge
+    # join's 3.92 s at this shape.
+    #
+    # Layout decision (LI_BUCKET_SWEEP.json, r08): the write is
+    # ALIGNED — repartition(B, key) before bucketBy(B) so each
+    # bucket is ONE sorted file. Without it Spark writes one file
+    # per (writer-task × bucket) pair, and the resulting ~W·B
+    # fragments make the cold scan file-overhead-bound (measured:
+    # fragmented B=128 cold 5.2 s vs aligned 0.47 s — the
+    # fragmentation INVERTED the bucket-count win). B=128 over
+    # cores=32: the per-task build drops 312k → 78k entries
+    # (cache-resident; the partitioned analogue of the reference's
+    # capacityBit ablation, README-2.txt:10-11), measured cold
+    # 0.71 → 0.47 s; B=256 bought no further gain.
     # try/finally so an exception mid-section can't strand the
     # bucketed tables in the warehouse/metastore (ADVICE r05).
+    li_buckets = 128
     spark.sql("DROP TABLE IF EXISTS bench_li_items")
     spark.sql("DROP TABLE IF EXISTS bench_li_orders")
     try:
+        from database_join_spark.operators.bucketing import (
+            write_bucketed_aligned,
+        )
+
         items, orders = q4112_frames(spark, li_cfg, 4 * cores)
         t0 = time.perf_counter()
-        items.write.bucketBy(cores, "id").sortBy("id").mode(
-            "overwrite"
-        ).saveAsTable("bench_li_items")
-        orders.write.bucketBy(cores, "item_id").sortBy("item_id").mode(
-            "overwrite"
-        ).saveAsTable("bench_li_orders")
+        write_bucketed_aligned(
+            items, "bench_li_items", li_buckets, ["id"]
+        )
+        write_bucketed_aligned(
+            orders, "bench_li_orders", li_buckets, ["item_id"]
+        )
         build_sec = time.perf_counter() - t0
 
         def _bucketed_join():
@@ -232,6 +249,7 @@ def _throughput(spark) -> dict[str, float]:
     sec = min(timed)
     out["large_inner_bucketed_sec"] = round(sec, 4)
     out["large_inner_bucketed_runs"] = [round(r, 4) for r in timed]
+    out["large_inner_buckets"] = li_buckets
     out["large_inner_bucketed_build_sec"] = round(build_sec, 2)
     out["large_inner_bucketed_gtuples_per_sec"] = round(
         li_cfg.outer_tuples / sec / 1e9, 4

@@ -40,6 +40,8 @@ SD_BEGIN = "<!-- SEMDEDUP_PROBE:BEGIN (generated — do not edit by hand) -->"
 G6_BEGIN = "<!-- GROUPS1E6_ADJ:BEGIN (generated — do not edit by hand) -->"
 G6_END = "<!-- GROUPS1E6_ADJ:END -->"
 SD_END = "<!-- SEMDEDUP_PROBE:END -->"
+LB_BEGIN = "<!-- LI_BUCKET_SWEEP:BEGIN (generated — do not edit by hand) -->"
+LB_END = "<!-- LI_BUCKET_SWEEP:END -->"
 
 #: Human-readable one-liners for spill_probe.py's config matrix.
 SPILL_LABELS = {
@@ -432,6 +434,46 @@ def render_semdedup_probe() -> str:
     return "\n".join(lines)
 
 
+def render_li_bucket_sweep() -> str:
+    """Bucket-count × writer-alignment sweep (VERDICT r07 #8) from
+    LI_BUCKET_SWEEP.json."""
+    data = json.loads((REPO / "LI_BUCKET_SWEEP.json").read_text())
+    cfg = data["cfg"]
+    lines = [
+        f"Artifact: `LI_BUCKET_SWEEP.json` (scripts/li_bucket_sweep.py "
+        f"— inner {cfg['inner']:,}, outer {cfg['outer']:,}, the exact "
+        f"bench join, warm-up + 3 timed runs, min reported; plans "
+        f"verified Exchange-free).",
+        "",
+        "| B | entries/task | fragmented cold s (files) "
+        "| fragmented cached s | aligned cold s (files) "
+        "| aligned cached s | aligned build s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for b, r in sorted(data["buckets"].items(), key=lambda kv: int(kv[0])):
+        fr, al = r["fragmented"], r["aligned"]
+        lines.append(
+            f"| {b} | {r['entries_per_task']:,} "
+            f"| {fr['cold_sec']} ({fr['data_files']:,}) "
+            f"| {fr['cached_sec']} "
+            f"| **{al['cold_sec']}** ({al['data_files']}) "
+            f"| {al['cached_sec']} | {al['bucketed_build_sec']} |"
+        )
+    bc = data["broadcast_cached_probe"]
+    lines.append("")
+    lines.append(
+        f"Broadcast-hash arm (one shared 1e7-entry build table, the "
+        f"reference's own layout, probe side cached): "
+        f"**{bc['sec']} s** — {bc['runs']}; first run incl. broadcast "
+        f"build {bc['first_run_with_broadcast_build_sec']} s. The "
+        f"shared-table spelling loses by ~an order of magnitude to "
+        f"the per-bucket builds: Spark's row-at-a-time generated-code "
+        f"probe into one big relation beats nothing — the win comes "
+        f"from small cache-resident per-task builds."
+    )
+    return "\n".join(lines)
+
+
 def render_groups1e6_adj() -> str:
     """Cache-prelude adjudication table (VERDICT r07 #3) from
     GROUPS1E6_ADJUDICATION.json."""
@@ -506,6 +548,8 @@ def main() -> None:
         text = _splice(text, SD_BEGIN, SD_END, render_semdedup_probe())
     if G6_BEGIN in text and (REPO / "GROUPS1E6_ADJUDICATION.json").exists():
         text = _splice(text, G6_BEGIN, G6_END, render_groups1e6_adj())
+    if LB_BEGIN in text and (REPO / "LI_BUCKET_SWEEP.json").exists():
+        text = _splice(text, LB_BEGIN, LB_END, render_li_bucket_sweep())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 

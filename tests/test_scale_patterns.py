@@ -108,3 +108,46 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+
+
+def test_aligned_bucketed_write_one_file_per_bucket(spark, tmp_path):
+    """Writer/bucket alignment (LI_BUCKET_SWEEP.json, r08): Spark
+    emits one file per (writer-task × bucket) pair, so an unaligned
+    W-task write into B buckets fragments the table into up to W·B
+    files — measured at inner=1e7 the fragments made the cold scan
+    file-overhead-bound and INVERTED the bucket-count win (B=128
+    cold 5.2 s fragmented vs 0.47 s aligned). The fix bench.py now
+    uses: repartition(B, key) before bucketBy(B) → exactly one
+    sorted file per bucket. Pinned here at small scale: file count
+    == B, and the co-located join stays Exchange-free."""
+    from database_join_spark.operators.bucketing import (
+        data_file_count,
+        write_bucketed_aligned,
+    )
+
+    buckets = 4
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # deliberately many writer partitions, then align
+    li = li.repartition(16)
+    write_bucketed_aligned(li, "t_li_aligned", buckets, ["l_orderkey"])
+    try:
+        assert data_file_count(spark, "t_li_aligned") == buckets
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bl = spark.table("t_li_aligned")
+            self_join = bl.alias("a").join(
+                spark.table("t_li_aligned")
+                .alias("b")
+                .hint("shuffle_hash"),
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+            )
+            plan = P.plan_string(self_join, mode="simple")
+            assert "Exchange" not in plan, plan
+            assert self_join.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_aligned")
