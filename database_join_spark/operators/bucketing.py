@@ -65,6 +65,45 @@ def write_bucketed_aligned(
     )
 
 
+def write_partitioned_aligned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a partition-column parquet layout
+    (``partitionBy``) with exactly one data file per partition value.
+
+    The same fragmentation disease as the bucketed write, in the
+    partitioned-write spelling: ``partitionBy(cols)`` from a
+    W-partition frame emits one file per (writer-task × touched
+    value) — a 1M-row IVF index written from a 32-task frame over 64
+    cells fragmented into ~2k files, and the stored-index scan at
+    full cell coverage became FILE-bound, reading 3× slower than the
+    un-stored in-memory arm it was meant to beat (ANN_PROBE 1M/200q
+    stored-IVF regression, BASELINE.md §ANN). Repartitioning by the
+    partition columns first routes each value to exactly one writer
+    task ⇒ one file per value.
+
+    Trade documented rather than hidden: one task per value also
+    caps write parallelism at the number of distinct values and
+    makes a skewed value a straggler file. That is the right default
+    for index/dimension tables (few values, scan-dominated); a
+    skewed fact table wants a salt column added to the repartition
+    (several aligned files per value) — at which point use
+    ``df.repartition(F.col(c), F.col(salt))`` directly.
+    """
+    cols = list(partition_cols)
+    if not cols:
+        raise ValueError("partition_cols must be non-empty")
+    (
+        df.repartition(*cols)
+        .write.partitionBy(*cols)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def data_file_count(spark: SparkSession, table: str) -> int:
     """Number of data files backing a saved table (layout audit:
     an aligned bucketed table reports exactly its bucket count)."""

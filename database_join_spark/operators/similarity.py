@@ -179,10 +179,15 @@ def ivf_index(
     This is the ONE-per-corpus pass that :func:`ivf_topk` otherwise
     re-pays per query batch (KMeans fit + assignment + norms). The
     100 TB posture is to MATERIALIZE it: write the returned frame
-    with ``.write.partitionBy("cell").parquet(...)`` so each probe
-    is a dynamic-partition-pruned scan, and keep the centroids with
-    the table metadata — then every query batch costs only its
-    probed cells (ANN_PROBE's cached arms measure exactly this)."""
+    with ``operators.bucketing.write_partitioned_aligned(df, path,
+    ["cell"])`` — cell as partition column so each probe is a
+    dynamic-partition-pruned scan, ALIGNED so each cell is one file
+    (a naive ``partitionBy`` write from a W-task frame fragments
+    into W×cells files, and the fragmentation made the stored scan
+    slower than no index at full cell coverage — measured, ANN_PROBE
+    1M/200q) — and keep the centroids with the table metadata. Then
+    every query batch costs only its probed cells (ANN_PROBE's
+    stored arms measure exactly this)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

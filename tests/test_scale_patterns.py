@@ -151,3 +151,35 @@ def test_aligned_bucketed_write_one_file_per_bucket(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_aligned")
+
+
+def test_aligned_partitioned_write_one_file_per_value(spark, tmp_path):
+    """The partitionBy spelling of the same alignment discipline
+    (write_partitioned_aligned, r08): a naive partitionBy from a
+    W-task frame emits one file per (task × touched value) — the
+    stored-IVF index fragmented into ~2k files this way and its
+    full-coverage scan became file-bound (ANN_PROBE 1M/200q).
+    Pinned: the aligned write yields exactly one data file per
+    partition value, and reading back preserves the rows."""
+    from database_join_spark.operators.bucketing import (
+        write_partitioned_aligned,
+    )
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"), (F.col("id") % 7).alias("cell")
+        )
+        .repartition(16)  # deliberately many writer partitions
+    )
+    out = str(tmp_path / "aligned_part")
+    write_partitioned_aligned(df, out, ["cell"])
+    import glob
+
+    files = glob.glob(f"{out}/cell=*/part-*")
+    cells = glob.glob(f"{out}/cell=*")
+    assert len(cells) == 7
+    assert len(files) == 7, sorted(files)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.groupBy().agg(F.sum("id")).first()[0] == 999 * 1000 // 2
