@@ -70,35 +70,71 @@ def write_partitioned_aligned(
     path: str,
     partition_cols: Sequence[str],
     mode: str = "overwrite",
+    files_per_value: int = 1,
 ) -> None:
     """Write ``df`` as a partition-column parquet layout
-    (``partitionBy``) with exactly one data file per partition value.
+    (``partitionBy``) with a controlled file count: exactly one data
+    file per partition value at the default, and up to
+    ``files_per_value`` per value otherwise (hash placement of the
+    salt groups; collisions can merge a value's groups when the
+    shuffle space is small relative to values × files_per_value).
 
     The same fragmentation disease as the bucketed write, in the
     partitioned-write spelling: ``partitionBy(cols)`` from a
     W-partition frame emits one file per (writer-task × touched
     value) — a 1M-row IVF index written from a 32-task frame over 64
-    cells fragmented into ~2k files, and the stored-index scan at
-    full cell coverage became FILE-bound, reading 3× slower than the
-    un-stored in-memory arm it was meant to beat (ANN_PROBE 1M/200q
-    stored-IVF regression, BASELINE.md §ANN). Repartitioning by the
-    partition columns first routes each value to exactly one writer
-    task ⇒ one file per value.
+    cells fragmented into ~2k uncontrolled files. Repartitioning by
+    the partition columns (plus a deterministic hash salt when
+    ``files_per_value > 1``) first routes each value to exactly that
+    many writer tasks ⇒ a controlled file count.
 
-    Trade documented rather than hidden: one task per value also
-    caps write parallelism at the number of distinct values and
-    makes a skewed value a straggler file. That is the right default
-    for index/dimension tables (few values, scan-dominated); a
-    skewed fact table wants a salt column added to the repartition
-    (several aligned files per value) — at which point use
-    ``df.repartition(F.col(c), F.col(salt))`` directly.
+    WHEN to align — measured both ways (IVF_LAYOUT_PROBE.json, one
+    session, only the layout varied). For SCAN-DOMINATED consumers
+    alignment wins twice: value-sorted files compress better (the 1M
+    IVF index shrank 270 → 157 MB) and pure decode ran 3–4× faster
+    (diagnostic section of the artifact). For COMPUTE-HEAVY
+    consumers the scan's split structure becomes the downstream
+    stage's task structure, and compaction measured as a REGRESSION:
+    the stored-IVF scoring stage at full cell coverage ran 58.8 s on
+    the natural ~2k-file layout vs 80.8 s at 1 file/cell and 111.4 s
+    at salted ×8 — keep the natural write there (decode was ~1 s in
+    every layout; the spread is all task structure). The
+    ``files_per_value`` knob exists for layouts that need BOTH a
+    bounded file count and multiple splits per value (e.g. a metadata
+    store quota); it controls files, not downstream speed — measure
+    the consumer before compacting under it.
     """
     cols = list(partition_cols)
     if not cols:
         raise ValueError("partition_cols must be non-empty")
+    if files_per_value < 1:
+        raise ValueError(
+            f"files_per_value must be >= 1, got {files_per_value}"
+        )
+    if files_per_value == 1:
+        aligned = df.repartition(*cols)
+    else:
+        from pyspark.sql import functions as F
+
+        # deterministic salt from the non-partition columns: same
+        # rows ⇒ same layout, no RNG in the write path
+        rest = [c for c in df.columns if c not in cols] or list(cols)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in rest]),
+            F.lit(files_per_value),
+        )
+        # explicit numPartitions: an un-pinned repartition is subject
+        # to AQE partition coalescing, which merges the salt groups
+        # back together and silently undoes the parallelism (measured
+        # in this operator's pytest at fixture scale). One extra
+        # column-pruned distinct-count job at write time is the
+        # ANALYZE-grade price of a write-once index layout.
+        n_values = df.select(*cols).distinct().count()
+        aligned = df.repartition(
+            n_values * files_per_value, *[F.col(c) for c in cols], salt
+        )
     (
-        df.repartition(*cols)
-        .write.partitionBy(*cols)
+        aligned.write.partitionBy(*cols)
         .mode(mode)
         .parquet(path)
     )

@@ -179,15 +179,22 @@ def ivf_index(
     This is the ONE-per-corpus pass that :func:`ivf_topk` otherwise
     re-pays per query batch (KMeans fit + assignment + norms). The
     100 TB posture is to MATERIALIZE it: write the returned frame
-    with ``operators.bucketing.write_partitioned_aligned(df, path,
-    ["cell"])`` — cell as partition column so each probe is a
-    dynamic-partition-pruned scan, ALIGNED so each cell is one file
-    (a naive ``partitionBy`` write from a W-task frame fragments
-    into W×cells files, and the fragmentation made the stored scan
-    slower than no index at full cell coverage — measured, ANN_PROBE
-    1M/200q) — and keep the centroids with the table metadata. Then
-    every query batch costs only its probed cells (ANN_PROBE's
-    stored arms measure exactly this)."""
+    with ``.write.partitionBy("cell").parquet(...)`` so each probe
+    is a dynamic-partition-pruned scan, and keep the centroids with
+    the table metadata — then every query batch costs only its
+    probed cells (ANN_PROBE's stored arms measure exactly this).
+    Layout note (IVF_LAYOUT_PROBE.json, same-session A/B): keep the
+    natural per-writer-task file layout. The scoring stage inherits
+    the scan's split structure, and compacting to one (or few
+    salted) files per cell REDUCED its parallelism and measured
+    slower at full cell coverage (58.8 s natural vs 80.8 aligned /
+    111.4 salted; decode itself is ~1 s in every layout) — file-count
+    alignment is for scan-dominated consumers
+    (``operators.bucketing.write_partitioned_aligned``), not for
+    this compute-heavy one. At FULL cell coverage no stored layout
+    beats the in-memory inline arm (31.2 s same session): a
+    high-coverage batch should score against a cached corpus or use
+    the stored-LSH surface instead."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

@@ -42,9 +42,6 @@ if _REPO not in sys.path:
 from pyspark.sql import functions as F  # noqa: E402
 
 from database_join_spark.operators import similarity as S  # noqa: E402
-from database_join_spark.operators.bucketing import (  # noqa: E402
-    write_partitioned_aligned,
-)
 from database_join_spark.session import get_spark  # noqa: E402
 
 DIM = 64
@@ -136,12 +133,16 @@ def probe_size(spark, n: int, n_queries: int = N_QUERIES) -> dict:
 
         t0 = time.perf_counter()
         ivf_corpus, cents = S.ivf_index(corpus, n_centroids=CLUSTERS)
-        # cell as partition column: each probe is a pruned scan.
-        # ALIGNED write (round 8): one file per cell — the naive
-        # partitionBy from a 32-task frame fragmented 1M rows into
-        # ~2k files and made the full-coverage stored scan
-        # file-bound (the 69 s outlier in the r08 ANN_PROBE capture)
-        write_partitioned_aligned(ivf_corpus, f"{idx_dir}/ivf", ["cell"])
+        # cell as partition column: each probe is a pruned scan. The
+        # natural (per-writer-task) layout is kept DELIBERATELY:
+        # IVF_LAYOUT_PROBE.json A/B'd it against 1-file-per-cell and
+        # salted-aligned layouts same-session and the natural write
+        # was the fastest stored layout for this compute-heavy
+        # consumer (its extra scan splits parallelize the scoring
+        # stage); alignment only wins scan-dominated consumers.
+        ivf_corpus.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{idx_dir}/ivf"
+        )
         Path(idx_dir, "ivf_centroids.json").write_text(json.dumps(cents))
         ivf_build_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
