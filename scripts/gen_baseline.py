@@ -42,6 +42,8 @@ G6_END = "<!-- GROUPS1E6_ADJ:END -->"
 SD_END = "<!-- SEMDEDUP_PROBE:END -->"
 LB_BEGIN = "<!-- LI_BUCKET_SWEEP:BEGIN (generated — do not edit by hand) -->"
 LB_END = "<!-- LI_BUCKET_SWEEP:END -->"
+TP_BEGIN = "<!-- STREAM_THROUGHPUT:BEGIN (generated — do not edit by hand) -->"
+TP_END = "<!-- STREAM_THROUGHPUT:END -->"
 
 #: Human-readable one-liners for spill_probe.py's config matrix.
 SPILL_LABELS = {
@@ -434,6 +436,42 @@ def render_semdedup_probe() -> str:
     return "\n".join(lines)
 
 
+def render_stream_throughput() -> str:
+    """Streaming throughput arms (round 8) from
+    STREAM_THROUGHPUT_PROBE.json."""
+    data = json.loads((REPO / "STREAM_THROUGHPUT_PROBE.json").read_text())
+    lines = [
+        f"Artifact: `STREAM_THROUGHPUT_PROBE.json` "
+        f"(scripts/stream_throughput_probe.py — {data['events']:,} "
+        f"events over {data['days']} simulated days, one parquet "
+        f"file per day, availableNow → noop sink, local[32]; "
+        f"'micro' = maxFilesPerTrigger 1 (one batch per day), "
+        f"'bulk' = whole backlog in one trigger).",
+        "",
+        "| pipeline | mode | wall s | events/s "
+        "| batch rows/s min/med/max | peak state rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for arm, modes in data["arms"].items():
+        for mode, r in modes.items():
+            if "skipped" in r:
+                lines.append(
+                    f"| `{arm}` | {mode} | — | — "
+                    f"| SKIPPED: {r['skipped']} | — |"
+                )
+                continue
+            mmm = r["batch_rows_per_sec_min_med_max"]
+            mmm_s = (
+                " / ".join(f"{v:,}" for v in mmm) if mmm else "—"
+            )
+            lines.append(
+                f"| `{arm}` | {mode} | {r['wall_sec']} "
+                f"| {r['events_per_sec']:,} | {mmm_s} "
+                f"| {r['state_rows_peak']:,} |"
+            )
+    return "\n".join(lines)
+
+
 def render_li_bucket_sweep() -> str:
     """Bucket-count × writer-alignment sweep (VERDICT r07 #8) from
     LI_BUCKET_SWEEP.json."""
@@ -550,6 +588,8 @@ def main() -> None:
         text = _splice(text, G6_BEGIN, G6_END, render_groups1e6_adj())
     if LB_BEGIN in text and (REPO / "LI_BUCKET_SWEEP.json").exists():
         text = _splice(text, LB_BEGIN, LB_END, render_li_bucket_sweep())
+    if TP_BEGIN in text and (REPO / "STREAM_THROUGHPUT_PROBE.json").exists():
+        text = _splice(text, TP_BEGIN, TP_END, render_stream_throughput())
     baseline.write_text(text)
     print(f"BASELINE.md measured table regenerated from {bench_path.name}")
 

@@ -56,6 +56,43 @@ def test_streaming_dedup_keeps_distinct_ids(spark):
     assert got == want
 
 
+def test_streaming_dedup_rocksdb_provider_matches_default(spark):
+    """The RocksDB state-store provider is the documented bulk /
+    unbounded-catch-up path (STREAM_THROUGHPUT_PROBE.json: the
+    in-memory provider cannot hold a single-trigger backlog's dedup
+    state; RocksDB ran it holding all 1e8 rows). Pin at fixture
+    scale that the provider swap is result-IDENTICAL for the exact
+    shipped pipeline, so the probe's provider path cannot rot."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ST.run_to_completion(
+            ST.dedup_within_watermark(ST.events_stream(spark, SF_DIR)),
+            "t_dedup_rocks",
+            output_mode="append",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    got = _sorted(spark.table("t_dedup_rocks").toPandas())
+    want = _sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .dropDuplicates(["event_id"])
+        .toPandas()
+    )
+    # row SET equality on event_id (either copy of a duplicate may
+    # survive; the fixture's duplicates are exact copies anyway)
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert len(got) == len(want)
+
+
 def test_stream_stream_join_equals_batch(spark):
     """The watermarked stream-stream interval join must equal the
     same join on the static frame when the finite stream replays to
