@@ -142,7 +142,12 @@ def write_partitioned_aligned(
 
 def data_file_count(spark: SparkSession, table: str) -> int:
     """Number of data files backing a saved table (layout audit:
-    an aligned bucketed table reports exactly its bucket count)."""
+    an aligned bucketed table reports exactly its bucket count).
+
+    The glob is recursive so partitionBy-style layouts (data files
+    nested under ``col=value/`` directories) are counted too — a
+    top-level-only glob returned 0 for them, which would let a
+    layout audit vacuously pass (ADVICE r08)."""
     import glob
 
     location = None
@@ -152,4 +157,4 @@ def data_file_count(spark: SparkSession, table: str) -> int:
             break
     if location is None:
         raise ValueError(f"no Location for table {table!r}")
-    return len(glob.glob(f"{location}/part-*"))
+    return len(glob.glob(f"{location}/**/part-*", recursive=True))

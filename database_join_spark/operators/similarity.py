@@ -166,6 +166,51 @@ def hyperplane_signature(
     return F.expr(" + ".join(planes))
 
 
+def _centroid_fingerprint(
+    centroids: list[tuple[int, list[float]]],
+) -> str:
+    """Deterministic fingerprint of an IVF centroid set. JSON float
+    serialization is repr-based, so the value survives the
+    write-to-sidecar/read-back round trip the stored-index path uses
+    (probe + tests both store centroids as JSON)."""
+    import hashlib
+    import json
+
+    normalized = [
+        [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+    ]
+    return hashlib.sha256(
+        json.dumps(normalized).encode()
+    ).hexdigest()[:16]
+
+
+def _require_index_fingerprint(
+    df: DataFrame, col: str, expected: dict, what: str
+) -> None:
+    """Validate the parameter fingerprint embedded in a stored index
+    table's column metadata (ADVICE r08: a stored table built with
+    different knobs — or assembled from mismatched halves — silently
+    yields wrong/degraded top-k; the fingerprint turns that into a
+    loud error). Raises ``ValueError`` on a missing or mismatched
+    fingerprint."""
+    try:
+        meta = dict(df.schema[col].metadata or {})
+    except KeyError:
+        raise ValueError(
+            f"{what}: expected fingerprint column {col!r} is absent "
+            f"from the stored index (columns: {df.columns})"
+        )
+    actual = {k: meta.get(k) for k in expected}
+    if actual != expected:
+        raise ValueError(
+            f"{what}: stored-index fingerprint mismatch — expected "
+            f"{expected}, stored {actual}. Rebuild the index with "
+            f"the same parameters you query with (a missing "
+            f"fingerprint means the table predates fingerprinting "
+            f"or was not built by this operator)."
+        )
+
+
 def ivf_index(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -206,13 +251,28 @@ def ivf_index(
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="fv", predictionCol="cell"
     ).fit(corpus_fv.select("fv"))
-    corpus = model.transform(corpus_fv).select(
-        "neighbor_id", "c_vec", "cell", norm2_q7("c_vec").alias("c_n2")
-    )
     centroids = [
         (int(cid), [float(x) for x in center])
         for cid, center in enumerate(model.clusterCenters())
     ]
+    # Parameter fingerprint rides in the schema metadata of a DATA
+    # column (c_n2, not cell: partitionBy("cell") strips the
+    # partition column from the data files, so its field metadata
+    # does not survive the stored round trip). Spark persists column
+    # metadata in the parquet footer schema, so the stored table
+    # carries its own build provenance; ivf_topk validates it
+    # against the centroid half of the index (ADVICE r08).
+    fp_meta = {
+        "ivf_n_centroids": n_centroids,
+        "ivf_seed": seed,
+        "ivf_centroid_fp": _centroid_fingerprint(centroids),
+    }
+    corpus = model.transform(corpus_fv).select(
+        "neighbor_id",
+        "c_vec",
+        "cell",
+        norm2_q7("c_vec").alias("c_n2", metadata=fp_meta),
+    )
     return corpus, centroids
 
 
@@ -241,10 +301,19 @@ def ivf_topk(
     Pass ``index`` (from :func:`ivf_index`, possibly read back from
     its stored parquet) to skip the per-corpus fit/assign pass —
     the stored-index regime where ANN beats brute force even at
-    small query counts."""
+    small query counts. The stored corpus carries a build
+    fingerprint in its schema metadata; it is validated against the
+    centroid half here, so a corpus paired with centroids from a
+    different build (or a table not written by :func:`ivf_index`)
+    raises instead of silently returning degraded top-k."""
     from pyspark.sql import Window
 
     if index is None:
+        if vectors is None:
+            raise ValueError(
+                "ivf_topk: pass either a corpus `vectors` DataFrame "
+                "or a prebuilt `index` from ivf_index()"
+            )
         corpus, centroids = ivf_index(
             vectors,
             n_centroids=n_centroids,
@@ -254,6 +323,15 @@ def ivf_topk(
         )
     else:
         corpus, centroids = index
+        _require_index_fingerprint(
+            corpus,
+            "c_n2",
+            {
+                "ivf_n_centroids": len(centroids),
+                "ivf_centroid_fp": _centroid_fingerprint(centroids),
+            },
+            what="ivf_topk",
+        )
 
     # centroid table as literals (driver-side constants, like the LSH
     # hyperplanes); n_probe nearest cells per query via a tiny window
@@ -327,9 +405,19 @@ def lsh_corpus_buckets(
             for t in range(tables)
         ]
     )
+    # Parameter fingerprint in the bucket column's schema metadata
+    # (persisted in the parquet footer): a stored bucket table built
+    # with different bits/tables/dim would silently miss every
+    # candidate (signatures keyed differently); lsh_topk validates
+    # this against its own knobs and raises instead (ADVICE r08).
+    fp_meta = {"lsh_bits": bits, "lsh_tables": tables, "lsh_dim": dim}
     return df.select(
         F.col(id_col).alias(out_id), F.explode(sigs).alias("tb")
-    ).select(out_id, "tb.tid", "tb.bucket")
+    ).select(
+        out_id,
+        "tb.tid",
+        F.col("tb.bucket").alias("bucket", metadata=fp_meta),
+    )
 
 
 def lsh_topk(
@@ -359,13 +447,22 @@ def lsh_topk(
     back from its stored table) to skip the corpus signature pass —
     it must have been built with the SAME bits/tables/dim (the
     hyperplanes are seeded by (table_id, bit), so equal knobs ⇒
-    equal signatures).
+    equal signatures). The build knobs ride in the stored table's
+    schema metadata and are VALIDATED here — a mismatched table
+    raises instead of silently missing every candidate.
     """
     from pyspark.sql import Window
 
     if corpus_buckets is None:
         corpus_buckets = lsh_corpus_buckets(
             vectors, bits, tables, dim, id_col, vec_col
+        )
+    else:
+        _require_index_fingerprint(
+            corpus_buckets,
+            "bucket",
+            {"lsh_bits": bits, "lsh_tables": tables, "lsh_dim": dim},
+            what="lsh_topk",
         )
     cand = (
         corpus_buckets.join(

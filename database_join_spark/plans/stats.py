@@ -93,7 +93,10 @@ def parquet_table_key(table_dir: str) -> str:
     parts = []
     for f in files:
         st = f.stat()
-        parts.append(f"{f.name}:{st.st_size}:{int(st.st_mtime)}")
+        # nanosecond mtime: a rewrite that lands within the same
+        # wall-clock second as the original (same names and sizes)
+        # must still rotate the key (ADVICE r08)
+        parts.append(f"{f.name}:{st.st_size}:{st.st_mtime_ns}")
     return f"parquet:{p}|{';'.join(parts)}"
 
 
@@ -112,9 +115,20 @@ def cached_statistic(
     if key in catalog:
         return catalog[key], True
     value = compute()
-    catalog = _load(path)  # re-read: another process may have written
-    catalog[key] = value
-    _store(path, catalog)
+    # Merge under an exclusive lock: the earlier lock-free
+    # load→merge→replace could drop a concurrent process's entry
+    # written between the re-read and os.replace (ADVICE r08 —
+    # never wrong answers, but a lost update re-pays a full HLL
+    # scan later). flock serializes the read-merge-write; the
+    # compute itself stays outside the critical section.
+    import fcntl
+
+    lock_path = path.with_suffix(path.suffix + ".lock")
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        catalog = _load(path)  # re-read under the lock
+        catalog[key] = value
+        _store(path, catalog)
     return value, False
 
 

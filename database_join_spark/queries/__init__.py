@@ -45,50 +45,46 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: membership in this set. History per id stays in STATUS.md
 #: (generated from the committed CORRECTNESS artifacts).
 #:
-#: Round-7 rotation (VERDICT r06 #2, rotation 5): a first driver row
-#: for ``dedup_semantic`` (the only registry id with no driver
-#: history — held back in r06 until its recall pin passed, fixed
-#: this round via multi-probe blocking) plus the ENTIRE r04
-#: staleness tail — every id whose newest driver row is r04 gets a
-#: fresh slot (``agg_quantile_exact`` … ``distinct_hll_sketch``
-#: below). They take the slots of the 16 TPC-H queries and
-#: ``multimodal_features`` — all 17 rotated-out ids earned full
-#: green r06 rows and remain pytest-hash-compared every run
-#: (tests/test_oracle_parity.py / test_multimodal). After this
-#: round no registry id's newest driver row is older than r05.
+#: Round-9 rotation (VERDICT r08 #3-#4, rotation 7): rotate in the
+#: complete r06 staleness tail — the 16 TPC-H queries plus
+#: ``multimodal_features``, now the oldest rows on the board — plus
+#: ``text_analysis`` (r07, sat out rotation 6 as promised) and the
+#: two NEW stored-ANN ids ``simsearch_lsh_stored`` /
+#: ``simsearch_ivf_stored`` (first driver rows for the operators'
+#: documented 100 TB posture, VERDICT r08 #4). The 20 slots come
+#: from ids that all earned full green r08 rows (the join/agg/
+#: dedup-baseline block below the kept set); they remain
+#: pytest-hash-compared every run (tests/test_oracle_parity.py).
+#: After this round no registry id's newest driver row is older
+#: than r07.
 #:
-#: Rotation history: r06 gave first rows to all nine r06-born ids
-#: except ``dedup_semantic`` (committed with a failing recall test;
-#: the r06 VERDICT's one red — its first row landed r07 instead) and
-#: refreshed the whole r02/r03 tail. Rotation 6 (r08, VERDICT r07
-#: #5) rotates in the ENTIRE ≤r05 staleness tail — all 45 ids whose
-#: newest driver row is r05 plus ``stream_interval_join`` (r04, the
-#: oldest row on the board) — and rotates out the 50 ids that got
-#: fresh r07 rows. That fills 46 of the 50 slots; the headline set
-#: keeps the remaining 4 (``text_analysis`` sits out one round —
-#: its newest row is r07). After r08 no registry id's newest driver
-#: row is older than r06.
+#: Rotation history: r06 gave first rows to the r06-born ids except
+#: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
+#: tail. Rotation 6 (r08, VERDICT r07 #5) rotated in the entire
+#: ≤r05 staleness tail + ``stream_interval_join`` (r04) — after r08
+#: no id older than r06. Rotation 7 is this one.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- newest row r04: the single oldest id on the board
-    "stream_interval_join",
-    # -- newest row r05 (rotation 6 staleness tail, complete)
-    "agg_distinct", "agg_grouping_sets", "agg_partial_cache",
-    "agg_quantile_approx", "agg_salted", "approx_distinct_fm",
-    "array_map_json", "datagen_synthetic", "decontam_minhash",
-    "dedup_embed_cosine", "dedup_exact_survivors", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "filter_semijoin_sel",
-    "higher_order_funcs", "join_broadcast", "join_hash_multi",
-    "join_hash_single", "join_nlj_multi", "join_nlj_single",
-    "join_outer", "join_range", "join_semi_anti", "join_sortmerge",
-    "pivot_wide", "project_expr", "scalar_funcs", "scan_columnar",
-    "set_ops", "simsearch_embed", "simsearch_ivf", "simsearch_lsh",
+    # -- newest row r06 (the complete staleness tail, rotation 7)
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21",
+    "tpch_q22", "multimodal_features",
+    # -- newest row r07: rejoins after sitting out rotation 6
+    "text_analysis",
+    # -- first driver rows: stored-ANN surfaces (VERDICT r08 #4)
+    "simsearch_lsh_stored", "simsearch_ivf_stored",
+    # -- kept from rotation 6 (fresh r08 rows; stay for continuity
+    #    of the streaming/text/window/simsearch families)
+    "stream_interval_join", "dedup_minhash", "join_outer",
+    "join_range", "join_semi_anti", "join_sortmerge", "pivot_wide",
+    "project_expr", "scalar_funcs", "scan_columnar", "set_ops",
+    "simsearch_embed", "simsearch_ivf", "simsearch_lsh",
     "sort_limit", "source_synthdocs", "stream_session",
     "stream_tumbling", "text_langid", "text_quality", "text_winnow",
     "udf_surface", "udtf_surface", "window_analytic",
     "window_distribution", "window_rank_topk",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
-    #    is re-proven under the driver every round; text_analysis
-    #    rejoins next rotation)
+    #    is re-proven under the driver every round)
     "agg_scalar_avg",
     "agg_groupby_avg", "agg_avg_of_avgs", "dedup_exact",
 })

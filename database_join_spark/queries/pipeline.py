@@ -475,6 +475,116 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 29b'. simsearch_lsh_stored / 29c'. simsearch_ivf_stored — the ANN
+# operators' documented 100 TB posture as first-class query ids
+# (VERDICT r08 #4): build the corpus-side index state ONCE, write it
+# as a parquet table, and answer the query batch from the STORED
+# state. ANN_PROBE.json measured these as the winning arms (stored-
+# LSH 3.28× over brute force at 1M/20q, 11.8× at 200q); pytest pins
+# result-parity with the inline twins, so the driver's rows-only
+# check plus the parity pin covers the whole path: build → parquet
+# round trip (fingerprint metadata included) → pruned read → query.
+# --------------------------------------------------------------------------
+def _ann_store_dir(sf_dir: str) -> str:
+    """Deterministic per-fixture scratch location for the stored ANN
+    index tables. Overwritten on every call (staleness-proof: the
+    query ids re-materialize, which at fixture scale costs less than
+    a second; a production deployment would write once per corpus
+    version and key the location by it, `plans.stats.parquet_table_key`
+    style). Deliberately NOT a tempfile.mkdtemp-per-call: the
+    returned DataFrame is lazy, so the files must outlive the call."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ann_store", tag
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query(
+    "simsearch_lsh_stored",
+    tags=("pipeline", "similarity", "no-oracle"),
+)
+def simsearch_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN cosine top-k answered from a STORED LSH bucket table.
+
+    `lsh_corpus_buckets` (the one-per-corpus signature pass) is
+    materialized as parquet and read back; `lsh_topk` validates the
+    build fingerprint carried in the stored schema metadata, then
+    joins query signatures against the stored buckets — the corpus
+    vectors are only touched for exact rescoring of co-bucketed
+    candidates. Same knobs as the inline twin `simsearch_lsh`, so
+    results are pinned identical (tests/test_pipeline.py). No
+    oracle (seeded hyperplanes); driver records rows-only.
+    """
+    configure_session(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    store = _ann_store_dir(sf_dir) + "/lsh_buckets"
+    S.lsh_corpus_buckets(emb, bits=4, tables=8, dim=64).write.mode(
+        "overwrite"
+    ).parquet(store)
+    return S.lsh_topk(
+        emb,
+        queries,
+        k=_TOP_K,
+        bits=4,
+        tables=8,
+        dim=64,
+        corpus_buckets=spark.read.parquet(store),
+    )
+
+
+@query(
+    "simsearch_ivf_stored",
+    tags=("pipeline", "similarity", "no-oracle"),
+)
+def simsearch_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN cosine top-k answered from a STORED IVF index.
+
+    `ivf_index` (KMeans fit + cell assignment + norms — the
+    per-corpus pass) is materialized with ``partitionBy("cell")`` so
+    each probe is a partition-pruned scan, centroids as a JSON
+    sidecar (the "table metadata"); `ivf_topk` validates the stored
+    corpus against the centroid half via the embedded fingerprint
+    before answering. Natural per-writer-task file layout kept
+    deliberately (IVF_LAYOUT_PROBE.json: compaction starves the
+    compute-heavy scoring stage of splits). Same knobs as the inline
+    twin `simsearch_ivf`; parity pinned in tests. No oracle
+    (iterative KMeans); driver records rows-only.
+    """
+    import json
+    from pathlib import Path
+
+    configure_session(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    store = _ann_store_dir(sf_dir)
+    corpus, cents = S.ivf_index(emb, n_centroids=16)
+    corpus.write.partitionBy("cell").mode("overwrite").parquet(
+        store + "/ivf_cells"
+    )
+    Path(store, "ivf_centroids.json").write_text(json.dumps(cents))
+    stored_cents = [
+        (int(c), [float(x) for x in v])
+        for c, v in json.loads(
+            Path(store, "ivf_centroids.json").read_text()
+        )
+    ]
+    return S.ivf_topk(
+        None,
+        queries,
+        k=_TOP_K,
+        n_probe=4,
+        index=(spark.read.parquet(store + "/ivf_cells"), stored_cents),
+    )
+
+
+# --------------------------------------------------------------------------
 # 29d. dedup_embed_cosine — embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 _COS_DUP_THRESHOLD = 0.4

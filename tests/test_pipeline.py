@@ -5,6 +5,7 @@ ground truth that the exact baselines establish on the fixtures."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from database_join_spark.queries import load_all
 from tests.conftest import SF_DIR
@@ -159,6 +160,57 @@ def test_ann_stored_index_equals_inline(spark, tmp_path):
         )
     )
     assert ivf_stored == ivf_inline
+
+
+def test_stored_ann_query_ids_match_inline_twins(spark):
+    """The registry-level stored twins (rotation 7, VERDICT r08 #4)
+    must return exactly the inline twins' rows: same fixtures, same
+    knobs, the only difference is the parquet round trip through the
+    materialized index (fingerprint-validated). This parity pin is
+    the declared non-oracle validation for the two rows-only ids."""
+
+    def rows(qid):
+        return sorted(
+            (r["query_id"], r["rnk"], r["neighbor_id"], r["cos_sim"])
+            for r in REGISTRY[qid].fn(spark, SF_DIR).collect()
+        )
+
+    assert rows("simsearch_lsh_stored") == rows("simsearch_lsh")
+    assert rows("simsearch_ivf_stored") == rows("simsearch_ivf")
+
+
+def test_stored_ann_fingerprint_rejects_mismatched_state(spark):
+    """ADVICE r08 (medium): a stored index built with different
+    knobs, or an index whose two halves come from different builds,
+    must raise — not silently degrade top-k."""
+    import pytest as _pytest
+
+    from database_join_spark.catalog import table
+    from database_join_spark.operators import similarity as S
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    buckets = S.lsh_corpus_buckets(emb, bits=4, tables=4)
+    with _pytest.raises(ValueError, match="fingerprint mismatch"):
+        S.lsh_topk(
+            emb, queries, k=3, bits=8, tables=4, corpus_buckets=buckets
+        )
+
+    corpus, cents = S.ivf_index(emb, n_centroids=4)
+    tampered = [(c, [x + 1.0 for x in v]) for c, v in cents]
+    with _pytest.raises(ValueError, match="fingerprint mismatch"):
+        S.ivf_topk(None, queries, k=3, index=(corpus, tampered))
+
+    # a table not written by the operator (no fingerprint) is also
+    # rejected, and the both-None misuse gets a clear error
+    bare = corpus.select(
+        "neighbor_id", "c_vec", "cell", F.col("c_n2").cast("long").alias("c_n2")
+    )
+    with _pytest.raises(ValueError, match="fingerprint"):
+        S.ivf_topk(None, queries, k=3, index=(bare, cents))
+    with _pytest.raises(ValueError, match="pass either"):
+        S.ivf_topk(None, queries)
 
 
 def test_multimodal_schema_and_batching(spark):
