@@ -48,7 +48,12 @@ def write_bucketed_aligned(
     per bucket.
 
     ``sort_cols`` defaults to ``bucket_cols`` (sorted buckets keep
-    the merge spelling of downstream joins sort-free too).
+    the merge spelling of downstream joins sort-free too). Pass an
+    explicit EMPTY sequence to skip the per-file sort: for a
+    consumer that only needs the co-location (e.g. an exchange-free
+    hash aggregate, which cannot exploit order), the sort is build
+    cost with no query-side return — measure both
+    (BUCKETED_AGG_PROBE.json records the trade at 1e9 rows).
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
@@ -56,13 +61,12 @@ def write_bucketed_aligned(
     if not cols:
         raise ValueError("bucket_cols must be non-empty")
     sort = list(sort_cols) if sort_cols is not None else cols
-    (
-        df.repartition(buckets, *cols)
-        .write.bucketBy(buckets, cols[0], *cols[1:])
-        .sortBy(sort[0], *sort[1:])
-        .mode(mode)
-        .saveAsTable(table)
+    writer = df.repartition(buckets, *cols).write.bucketBy(
+        buckets, cols[0], *cols[1:]
     )
+    if sort:
+        writer = writer.sortBy(sort[0], *sort[1:])
+    writer.mode(mode).saveAsTable(table)
 
 
 def write_partitioned_aligned(

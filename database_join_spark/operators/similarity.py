@@ -628,7 +628,10 @@ def kmeans_fit(
 
 
 def kmeans_assign_topm(
-    base: DataFrame, centroids: list[list[int]], m: int
+    base: DataFrame,
+    centroids: list[list[int]],
+    m: int,
+    ratio: float | None = None,
 ) -> DataFrame:
     """Multi-probe cluster assignment: one exploded row per (vector,
     block) for the vector's ``m`` NEAREST centroids — the blocking
@@ -638,7 +641,22 @@ def kmeans_assign_topm(
     index — the same deterministic rule as ``array_position`` on the
     first minimum, and the same order ``numpy.argsort(kind='stable')``
     yields, which is what lets the multi-probe candidate SET be
-    pinned bit-for-bit against an independent fit."""
+    pinned bit-for-bit against an independent fit.
+
+    ``ratio`` (VERDICT r08 #6) makes the probe width ADAPTIVE:
+    centroid j is probed only when ``d²_j ≤ ratio · d²_nearest``
+    (m becomes the cap). Fixed-m pays the full m-wide candidate
+    mass for EVERY vector to recover the few boundary-straddling
+    twins; under the ratio rule, vectors deep inside a cell (the
+    bulk) probe one cell, and only genuine boundary cases fan out —
+    the SEMDEDUP_PROBE measured m=4 paying 17.5× the m=1 candidate
+    mass at 1M to recover 173 boundary misses. The comparison is
+    exact int64 arithmetic: ratio is snapped to a small fraction
+    p/q (q ≤ 8) and evaluated as ``d²_j·q ≤ d²_min·p`` — bounded by
+    2.6e16·8 ≈ 2.1e17 < 2⁶³, so no float rounding at the decision
+    boundary. The nearest centroid always qualifies (d²·q ≤ d²·p
+    for p ≥ q), so every vector keeps at least its home block.
+    """
     k = len(centroids)
     dists = F.array(
         *[
@@ -654,16 +672,27 @@ def kmeans_assign_topm(
             for cent in centroids
         ]
     )
-    return (
-        base.withColumn("dists", dists)
-        .withColumn(
-            "blocks",
-            F.expr(
-                f"transform(slice(array_sort(arrays_zip(dists, "
-                f"sequence(1, {k}))), 1, {m}), s -> CAST(s['1'] AS INT))"
-            ),
+    top_m = (
+        f"slice(array_sort(arrays_zip(dists, sequence(1, {k}))), 1, {m})"
+    )
+    if ratio is None:
+        blocks = f"transform({top_m}, s -> CAST(s['1'] AS INT))"
+    else:
+        from fractions import Fraction
+
+        if ratio < 1.0:
+            raise ValueError(f"ratio must be >= 1, got {ratio}")
+        frac = Fraction(ratio).limit_denominator(8)
+        p, q = frac.numerator, frac.denominator
+        blocks = (
+            f"transform(filter(top_m, s -> s['dists'] * {q}L <= "
+            f"top_m[0]['dists'] * {p}L), s -> CAST(s['1'] AS INT))"
         )
-        .select("id", "qv", F.explode("blocks").alias("block"))
+    df = base.withColumn("dists", dists)
+    if ratio is not None:
+        df = df.withColumn("top_m", F.expr(top_m))
+    return df.withColumn("blocks", F.expr(blocks)).select(
+        "id", "qv", F.explode("blocks").alias("block")
     )
 
 
@@ -675,6 +704,7 @@ def semdedup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ratio: float | None = None,
 ) -> DataFrame:
     """SemDeDup candidate-pair scoring: exact-integer k-means fit →
     multi-probe blocking (:func:`kmeans_assign_topm`, m nearest
@@ -690,7 +720,11 @@ def semdedup_pairs(
     its true quantized cosine); recall misses exactly the true pairs
     sharing none of their m probed clusters — the measured m-curve
     lives on ``_SEMDEDUP_PROBES`` (queries/pipeline.py) and in
-    SEMDEDUP_PROBE.json.
+    SEMDEDUP_PROBE.json. ``ratio`` switches the blocking to
+    distance-ratio ADAPTIVE probing (see
+    :func:`kmeans_assign_topm`): m becomes the cap, and only
+    vectors near a Voronoi boundary fan out — the probe's adaptive
+    arms measure the recall/candidate-mass trade per r.
     """
     _assigned, cents, _hist = kmeans_fit(
         emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
@@ -698,7 +732,7 @@ def semdedup_pairs(
     base = emb.select(
         F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
     )
-    blocks = kmeans_assign_topm(base, cents, m=m)
+    blocks = kmeans_assign_topm(base, cents, m=m, ratio=ratio)
     # Chunk-pair parallelism: one task per BLOCK serializes on a
     # skewed cluster (measured: a straggler block pinned the 300k
     # probe arm to one core for 15+ min while 31 sat idle). Blocks

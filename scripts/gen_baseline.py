@@ -40,6 +40,8 @@ SD_BEGIN = "<!-- SEMDEDUP_PROBE:BEGIN (generated — do not edit by hand) -->"
 G6_BEGIN = "<!-- GROUPS1E6_ADJ:BEGIN (generated — do not edit by hand) -->"
 G6_END = "<!-- GROUPS1E6_ADJ:END -->"
 SD_END = "<!-- SEMDEDUP_PROBE:END -->"
+BA_BEGIN = "<!-- BUCKETED_AGG_PROBE:BEGIN (generated — do not edit by hand) -->"
+BA_END = "<!-- BUCKETED_AGG_PROBE:END -->"
 LB_BEGIN = "<!-- LI_BUCKET_SWEEP:BEGIN (generated — do not edit by hand) -->"
 LB_END = "<!-- LI_BUCKET_SWEEP:END -->"
 TP_BEGIN = "<!-- STREAM_THROUGHPUT:BEGIN (generated — do not edit by hand) -->"
@@ -433,6 +435,57 @@ def render_semdedup_probe() -> str:
                 f"| {r['candidate_pairs'] / r['uniform_model_pairs']:.2f}× "
                 f"| {r['pairs_per_sec']:,} |"
             )
+    if any("adaptive" in pt for pt in data["points"]):
+        lines += [
+            "",
+            "Adaptive distance-ratio arms (round 9, VERDICT r08 #6): "
+            "probe centroid j only when d²_j ≤ r·d²_nearest, m as "
+            "the cap — only boundary-straddling vectors fan out:",
+            "",
+            "| n | arm | sec | recall | candidate pairs "
+            "| vs fixed m=4 mass |",
+            "|---|---|---|---|---|---|",
+        ]
+        for pt in data["points"]:
+            for arm, r in sorted(pt.get("adaptive", {}).items()):
+                lines.append(
+                    f"| {pt['n_base']:,} | {arm} "
+                    f"| {r['sec_end_to_end']} "
+                    f"| {r['recall_vs_planted']} "
+                    f"| {r['candidate_pairs']:,} "
+                    f"| {r['vs_fixed_m4_candidates']:.3f}× |"
+                )
+    return "\n".join(lines)
+
+
+def render_bucketed_agg() -> str:
+    """Bucketed-aggregate arms at groups=1e8 (VERDICT r08 #1) from
+    BUCKETED_AGG_PROBE.json."""
+    data = json.loads((REPO / "BUCKETED_AGG_PROBE.json").read_text())
+    lines = [
+        f"Artifact: `BUCKETED_AGG_PROBE.json` "
+        f"(scripts/bucketed_agg_probe.py — {data['rows']:,} rows, "
+        f"{data['groups']:,} uniform groups, one JVM, default "
+        f"profile, fast map bit 20 on the bucketed arms; answers "
+        f"asserted equal to the control's and to the numpy oracle "
+        f"at small scale; per-store plans verified free of "
+        f"hashpartitioning exchange; host snapshots embedded).",
+        "",
+        f"Control (repartition-first, the tracked in-exchange best): "
+        f"**{data['control_repart_sec']} s** "
+        f"{data['control_repart_runs']} — loadavg at capture "
+        f"{data['host_control'].get('loadavg')}.",
+        "",
+        "| arm | build s | files | size GB | cold query s "
+        "| warm query s | runs |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in sorted(data["arms"].items()):
+        lines.append(
+            f"| {name} | {r['build_sec']} | {r['files']} "
+            f"| {r['size_gb']} | {r['query_cold_sec']} "
+            f"| **{r['query_warm_sec']}** | {r['query_runs']} |"
+        )
     return "\n".join(lines)
 
 
@@ -588,6 +641,8 @@ def main() -> None:
         text = _splice(text, G6_BEGIN, G6_END, render_groups1e6_adj())
     if LB_BEGIN in text and (REPO / "LI_BUCKET_SWEEP.json").exists():
         text = _splice(text, LB_BEGIN, LB_END, render_li_bucket_sweep())
+    if BA_BEGIN in text and (REPO / "BUCKETED_AGG_PROBE.json").exists():
+        text = _splice(text, BA_BEGIN, BA_END, render_bucketed_agg())
     if TP_BEGIN in text and (REPO / "STREAM_THROUGHPUT_PROBE.json").exists():
         text = _splice(text, TP_BEGIN, TP_END, render_stream_throughput())
     baseline.write_text(text)

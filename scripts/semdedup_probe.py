@@ -65,6 +65,12 @@ VECTORS_PER_CLUSTER = 10_000
 #: m-recall curve is measured at fixture scale (_SEMDEDUP_PROBES,
 #: queries/pipeline.py).
 PROBE_MS = (1, 4)
+#: Adaptive arms (round 9, VERDICT r08 #6): distance-ratio probing
+#: (cap, ratio) — probe centroid j only when d²_j ≤ r·d²_nearest.
+#: Fixed m=4 pays 17.5× the m=1 candidate mass at 1M to recover 173
+#: boundary twins; the ratio rule should keep recall 1.0 while only
+#: boundary-straddling vectors fan out.
+PROBE_ADAPTIVE = ((4, 1.5), (4, 2.0), (4, 3.0))
 
 
 def synth_corpus(spark, n: int):
@@ -114,6 +120,8 @@ def synth_corpus(spark, n: int):
 
 
 def main(sizes: list[int]) -> None:
+    from database_join_spark.hostinfo import host_snapshot
+
     spark = get_spark(app_name="semdedup-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {
@@ -122,6 +130,7 @@ def main(sizes: list[int]) -> None:
         "iterations": ITERS,
         "vectors_per_cluster": VECTORS_PER_CLUSTER,
         "dup_every": DUP_EVERY,
+        "host_start": host_snapshot(),
         "points": [],
     }
     for n in sizes:
@@ -130,7 +139,13 @@ def main(sizes: list[int]) -> None:
         truth = {(b, n + b // DUP_EVERY) for b in range(0, n, DUP_EVERY)}
         vecs = synth_corpus(spark, n).persist()
         total = vecs.count()  # materialize so the probe times the op
-        point: dict = {"n_base": n, "n_total": total, "k": k, "ms": {}}
+        point: dict = {
+            "n_base": n,
+            "n_total": total,
+            "k": k,
+            "host": host_snapshot(),
+            "ms": {},
+        }
 
         # blocking economics per m: Σ|block|² /2 candidate pairs
         _a, cents, _h = S.kmeans_fit(vecs, k=k, iterations=ITERS)
@@ -172,8 +187,51 @@ def main(sizes: list[int]) -> None:
                 "pairs_per_sec": round(int(sizes_m) / sec),
             }
             print(json.dumps({"n": n, "m": m, **point["ms"][m]}))
+
+        point["adaptive"] = {}
+        for cap, r in PROBE_ADAPTIVE:
+            t0 = time.monotonic()
+            got = {
+                (r_["id_a"], r_["id_b"])
+                for r_ in S.semdedup_pairs(
+                    vecs,
+                    k=k,
+                    iterations=ITERS,
+                    m=cap,
+                    threshold=THRESHOLD,
+                    ratio=r,
+                ).collect()
+            }
+            sec = round(time.monotonic() - t0, 2)
+            sizes_a = (
+                S.kmeans_assign_topm(base, cents, m=cap, ratio=r)
+                .groupBy("block")
+                .count()
+                .agg(
+                    F.sum(
+                        (F.col("count") * (F.col("count") - 1) / 2)
+                    ).alias("p")
+                )
+                .collect()[0]["p"]
+            )
+            hit = len(got & truth)
+            key = f"r{r}_cap{cap}"
+            point["adaptive"][key] = {
+                "sec_end_to_end": sec,
+                "recall_vs_planted": round(hit / n_twins, 4),
+                "emitted_pairs": len(got),
+                "candidate_pairs": int(sizes_a),
+                "vs_fixed_m4_candidates": round(
+                    int(sizes_a)
+                    / max(point["ms"][4]["candidate_pairs"], 1),
+                    4,
+                ),
+                "pairs_per_sec": round(int(sizes_a) / sec),
+            }
+            print(json.dumps({"n": n, "arm": key, **point["adaptive"][key]}))
         vecs.unpersist()
         out["points"].append(point)
+    out["host_end"] = host_snapshot()
     Path(_REPO, "SEMDEDUP_PROBE.json").write_text(
         json.dumps(out, indent=1) + "\n"
     )

@@ -547,6 +547,29 @@ def test_kmeans_assign_topm_matches_numpy_stable_argsort(spark):
     }
     assert got == expected
 
+    # Distance-ratio adaptive probing (round 9, VERDICT r08 #6):
+    # within the top-m cap, keep centroid j iff d²_j·q ≤ d²_min·p
+    # for ratio p/q — pinned against the same integer rule in numpy.
+    # ratio=1.5 → p/q = 3/2, exact.
+    order = np.argsort(d, axis=1, kind="stable")[:, :m]
+    dmin = d[np.arange(len(ids)), order[:, 0]]
+    expected_adaptive = {
+        (int(i), int(b) + 1)
+        for idx, (i, row) in enumerate(zip(ids, order))
+        for b in row
+        if int(d[idx, b]) * 2 <= int(dmin[idx]) * 3
+    }
+    got_adaptive = {
+        (r["id"], r["block"])
+        for r in kmeans_assign_topm(
+            base, cents, m=m, ratio=1.5
+        ).collect()
+    }
+    assert got_adaptive == expected_adaptive
+    assert got_adaptive <= got  # cap respected
+    # every vector keeps its home block
+    assert {i for i, _ in got_adaptive} == {int(i) for i in ids}
+
 
 def test_kmeans_fit_clamps_k_to_row_count(spark):
     """k larger than the input row count must degrade gracefully

@@ -153,6 +153,69 @@ def test_aligned_bucketed_write_one_file_per_bucket(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_li_aligned")
 
 
+def test_bucketed_aggregate_has_no_groupby_exchange(spark, tmp_path):
+    """The round-9 groups=1e8 fix (BUCKETED_AGG_PROBE.json): a
+    groupBy on the bucket key of an aligned bucketed table must
+    inherit the bucketed hash partitioning — no
+    hashpartitioning(store-key) exchange anywhere in the plan; the
+    only exchange left is the tiny single-partition gather for a
+    final scalar aggregate. A broadcast join on a DIFFERENT key
+    before the groupBy must not break the inheritance (bench's
+    part2_groups1e8_bucketed shape). Answers pinned against the
+    plain spelling."""
+    from database_join_spark.operators.bucketing import (
+        write_bucketed_aligned,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_size"
+    )
+    write_bucketed_aligned(
+        li.repartition(16), "t_li_agg_bucketed", 4, ["l_orderkey"]
+    )
+    try:
+        bl = spark.table("t_li_agg_bucketed")
+        per_key = (
+            bl.join(
+                F.broadcast(part),
+                F.col("p_partkey") == F.col("l_partkey"),
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                ).alias("s")
+            )
+        )
+        plan = P.plan_string(per_key, mode="simple")
+        assert "hashpartitioning(l_orderkey" not in plan, plan
+        final = per_key.agg(
+            F.sum("s").alias("total"), F.count("s").alias("n")
+        )
+        fplan = P.plan_string(final, mode="simple")
+        assert "hashpartitioning(l_orderkey" not in fplan, fplan
+        want = (
+            li.join(
+                part, F.col("p_partkey") == F.col("l_partkey")
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                ).alias("s")
+            )
+            .agg(F.sum("s").alias("total"), F.count("s").alias("n"))
+            .collect()[0]
+        )
+        got = final.collect()[0]
+        assert (got["total"], got["n"]) == (want["total"], want["n"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_agg_bucketed")
+
+
 def test_aligned_partitioned_write_one_file_per_value(spark, tmp_path):
     """The partitionBy spelling of the alignment discipline
     (write_partitioned_aligned, r08): a naive partitionBy from a
