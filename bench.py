@@ -396,7 +396,10 @@ def _throughput(spark) -> dict[str, float]:
 
     runs = []
     with applied(spark, nr_sizing):
-        for _ in range(3):  # first = warm-up, 2 timed
+        # 3 timed runs (VERDICT r08 Wrong #3: a 28%-spread regime
+        # should not rest on a min-of-2; with the estimate amortized
+        # by the statistics catalog the row is cheap enough again)
+        for _ in range(4):  # first = warm-up, 3 timed
             t0 = time.perf_counter()
             _nr_query().collect()
             runs.append(time.perf_counter() - t0)
