@@ -71,3 +71,58 @@ def test_parquet_table_key_tracks_version(tmp_path):
     assert "part-0.parquet:4:" in k1
     f.write_bytes(b"aaaaaa")  # rewrite -> new size -> new key
     assert parquet_table_key(str(d)) != k1
+
+
+def test_parquet_table_key_sub_second_rewrite_rotates(tmp_path):
+    """ADVICE r08: a rewrite preserving names and sizes within the
+    same wall-clock second must still rotate the key — the
+    fingerprint uses st_mtime_ns, not whole seconds."""
+    import os
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    k1 = parquet_table_key(str(d))
+    # same content length, same second, different nanosecond mtime
+    st = f.stat()
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert parquet_table_key(str(d)) != k1
+
+
+def test_cached_statistic_concurrent_writers_no_lost_update(tmp_path):
+    """ADVICE r08: the merge runs under an exclusive lock, so two
+    near-simultaneous writers both land their entries (the lock-free
+    spelling could drop one, silently re-paying its scan later)."""
+    from database_join_spark.plans.stats import cached_statistic
+
+    path = tmp_path / "cache.json"
+    seen = []
+
+    def compute_a():
+        # interleave: while A's compute runs, B completes fully
+        v, hit = cached_statistic("tb", "s", lambda: 2, path=path)
+        seen.append(("b", v, hit))
+        return 1
+
+    va, hita = cached_statistic("ta", "s", compute_a, path=path)
+    seen.append(("a", va, hita))
+    assert ("b", 2, False) in seen and ("a", 1, False) in seen
+    # both survive in the catalog
+    va2, hita2 = cached_statistic("ta", "s", lambda: 99, path=path)
+    vb2, hitb2 = cached_statistic("tb", "s", lambda: 99, path=path)
+    assert (va2, hita2) == (1, True)
+    assert (vb2, hitb2) == (2, True)
+
+
+def test_host_snapshot_shape():
+    """hostinfo.host_snapshot (round 9, VERDICT r08 #5) returns the
+    JSON-ready drift-adjudication block every artifact embeds."""
+    from database_join_spark.hostinfo import host_snapshot
+
+    s = host_snapshot()
+    assert {"unix_time", "loadavg", "cpu_mhz_mean",
+            "mem_available_gb"} <= set(s)
+    assert s["mem_available_gb"] is None or s["mem_available_gb"] > 0
+    la = s["loadavg"]
+    assert la is None or (len(la) == 3 and all(x >= 0 for x in la))
