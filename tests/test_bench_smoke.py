@@ -5,9 +5,10 @@ BENCH artifact; a crash or malformed line loses the round's
 performance record (r03 lost its query map to output truncation).
 This runs the REAL bench.py in a subprocess at toy scale and pins
 the output contract: one parseable JSON line, the required keys
-(including the round-5 additions: sizing decision, bucketed
-large-inner), and the 1,900-char budget the driver's tail capture
-imposes.
+(round 9: every headline `_sec` row including the bucketed
+aggregate, plus the host block), the 1,900-char budget the driver's
+tail capture imposes, and the slim/full split — sizing decisions
+and runs arrays live in BENCH_FULL.json, NOT on the printed line.
 """
 
 from __future__ import annotations
@@ -62,19 +63,39 @@ def test_bench_emits_one_valid_slim_json_line(tmp_path):
         )["reference_workload"]
     # the full sidecar landed at the overridden path, not the repo's
     assert (tmp_path / "BENCH_FULL.json").exists()
+    # the slim line carries every headline timing (round 9 adds the
+    # bucketed-aggregate rows) ...
     for key in (
         "q4112_part1_sec",
         "q4112_part2_sec",
         "part2_groups1e6_sec",
-        "part2_groups1e6_sizing",
         "part2_groups1e8_sec",
-        "part2_groups1e8_sizing",
+        "part2_groups1e8_bucketed_sec",
+        "part2_groups1e8_bucketed_cold_sec",
+        "part2_groups1e8_bucketed_build_sec",
         "large_inner_sec",
         "large_inner_bucketed_sec",
         "large_inner_bucketed_build_sec",
     ):
         assert key in wl, sorted(wl)
-    sizing = wl["part2_groups1e6_sizing"]
+    # ... and the host drift-adjudication block (round 9, r08 #5)
+    assert set(out.get("host", {})) == {"start", "mid", "end"}
+    # sizing decisions / runs arrays / derivable per-row extras are
+    # audit payload: slimmed OFF the printed line (round 9 — the
+    # 1,900-char tail budget must fit the reference_workload map),
+    # present in the full sidecar of record
+    full_wl = json.loads(
+        (tmp_path / "BENCH_FULL.json").read_text()
+    )["reference_workload"]
+    for key in (
+        "part2_groups1e6_sizing",
+        "part2_groups1e8_sizing",
+        "part2_groups1e8_runs",
+        "part2_groups1e8_bucketed_runs",
+    ):
+        assert key in full_wl, sorted(full_wl)
+        assert key not in out.get("reference_workload", {}), key
+    sizing = full_wl["part2_groups1e6_sizing"]
     assert set(sizing) >= {
         "est_groups",
         "capacity_bit",
@@ -85,7 +106,7 @@ def test_bench_emits_one_valid_slim_json_line(tmp_path):
     # sizing loop actually made (at toy scale the estimate is small,
     # so the chosen spelling may be the standard plan — the CONTRACT
     # is that the decision fields are present and consistent)
-    nr = wl["part2_groups1e8_sizing"]
+    nr = full_wl["part2_groups1e8_sizing"]
     assert set(nr) >= {
         "est_groups",
         "repartition_first",

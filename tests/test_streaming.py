@@ -61,15 +61,25 @@ def test_streaming_dedup_rocksdb_provider_matches_default(spark):
     unbounded-catch-up path (STREAM_THROUGHPUT_PROBE.json: the
     in-memory provider cannot hold a single-trigger backlog's dedup
     state; RocksDB ran it holding all 1e8 rows). Pin at fixture
-    scale that the provider swap is result-IDENTICAL for the exact
-    shipped pipeline, so the probe's provider path cannot rot."""
-    conf = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(conf, None)
-    spark.conf.set(
-        conf,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    scale that the provider swap — under the FULL tuned conf set the
+    engine recommends (`rocksdb_state_store_confs()`: changelog
+    checkpointing + sized write buffers, ROCKSDB_TUNING_PROBE.json's
+    winning arm) — is result-IDENTICAL for the exact shipped
+    pipeline, so neither the provider path nor the tuning can rot."""
+    confs = ST.rocksdb_state_store_confs(tuned=True)
+    assert confs["spark.sql.streaming.stateStore.providerClass"] == (
+        ST.ROCKSDB_PROVIDER
     )
+    assert (
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ]
+        == "true"
+    )
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         ST.run_to_completion(
             ST.dedup_within_watermark(ST.events_stream(spark, SF_DIR)),
@@ -77,10 +87,11 @@ def test_streaming_dedup_rocksdb_provider_matches_default(spark):
             output_mode="append",
         )
     finally:
-        if prev is None:
-            spark.conf.unset(conf)
-        else:
-            spark.conf.set(conf, prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     got = _sorted(spark.table("t_dedup_rocks").toPandas())
     want = _sorted(
         spark.read.parquet(f"{SF_DIR}/events.parquet")
