@@ -43,6 +43,7 @@ def write_bucketed_aligned(
     bucket_cols: Sequence[str],
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed table with exactly one data file
     per bucket.
@@ -54,6 +55,14 @@ def write_bucketed_aligned(
     hash aggregate, which cannot exploit order), the sort is build
     cost with no query-side return — measure both
     (BUCKETED_AGG_PROBE.json records the trade at 1e9 rows).
+
+    ``path`` makes the table EXTERNAL at that location (bucket
+    metadata stays in the catalog — Spark's bucketed layout is
+    catalog state, which is why this writes through ``saveAsTable``
+    and not ``parquet(path)``). That is both the 100 TB spelling
+    (bucketed tables live at object-store locations, registered in
+    a shared metastore) and what lets a caller keep the data files
+    out of the session's warehouse directory.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
@@ -66,6 +75,8 @@ def write_bucketed_aligned(
     )
     if sort:
         writer = writer.sortBy(sort[0], *sort[1:])
+    if path is not None:
+        writer = writer.option("path", path)
     writer.mode(mode).saveAsTable(table)
 
 

@@ -48,15 +48,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: Round-9 rotation (VERDICT r08 #3-#4, rotation 7): rotate in the
 #: complete r06 staleness tail — the 16 TPC-H queries plus
 #: ``multimodal_features``, now the oldest rows on the board — plus
-#: ``text_analysis`` (r07, sat out rotation 6 as promised) and the
+#: ``text_analysis`` (r07, sat out rotation 6 as promised), the
 #: two NEW stored-ANN ids ``simsearch_lsh_stored`` /
 #: ``simsearch_ivf_stored`` (first driver rows for the operators'
-#: documented 100 TB posture, VERDICT r08 #4). The 20 slots come
+#: documented 100 TB posture, VERDICT r08 #4), and the NEW
+#: ``agg_bucketed_exchange_free`` (first driver row for the
+#: round-9 weak-regime fix — the engine's recommended no-reduction
+#: aggregate spelling, BUCKETED_AGG_PROBE.json). The 21 slots come
 #: from ids that all earned full green r08 rows (the join/agg/
-#: dedup-baseline block below the kept set); they remain
-#: pytest-hash-compared every run (tests/test_oracle_parity.py).
-#: After this round no registry id's newest driver row is older
-#: than r07.
+#: dedup-baseline block below the kept set, plus ``pivot_wide``);
+#: they remain pytest-hash-compared every run
+#: (tests/test_oracle_parity.py). After this round no registry
+#: id's newest driver row is older than r07.
 #:
 #: Rotation history: r06 gave first rows to the r06-born ids except
 #: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
@@ -72,11 +75,13 @@ DRIVER_GATE: frozenset[str] = frozenset({
     # -- newest row r07: rejoins after sitting out rotation 6
     "text_analysis",
     # -- first driver rows: stored-ANN surfaces (VERDICT r08 #4)
+    #    and the bucketed exchange-free aggregate (round-9 fix)
     "simsearch_lsh_stored", "simsearch_ivf_stored",
+    "agg_bucketed_exchange_free",
     # -- kept from rotation 6 (fresh r08 rows; stay for continuity
     #    of the streaming/text/window/simsearch families)
     "stream_interval_join", "dedup_minhash", "join_outer",
-    "join_range", "join_semi_anti", "join_sortmerge", "pivot_wide",
+    "join_range", "join_semi_anti", "join_sortmerge",
     "project_expr", "scalar_funcs", "scan_columnar", "set_ops",
     "simsearch_embed", "simsearch_ivf", "simsearch_lsh",
     "sort_limit", "source_synthdocs", "stream_session",

@@ -244,6 +244,84 @@ def agg_repartition_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_bucketed_exchange_free",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("extras", "agg", "scale", "layout"),
+)
+def agg_bucketed_exchange_free(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The no-reduction-regime ENDGAME spelling as a gated-surface
+    query (round 9): write the fact ONCE as an aligned bucketed
+    table on the group key, and ``groupBy`` on that key inherits
+    the bucketed hash partitioning — ZERO exchange in the per-query
+    plan (pinned exchange-free in tests/test_scale_patterns.py),
+    where `agg_repartition_first` still pays one raw-row exchange
+    per query. Semantically identical to the plain GROUP BY —
+    exactly what the oracle asserts.
+
+    Why it exists (BUCKETED_AGG_PROBE.json, BASELINE.md §bucketed
+    aggregate): at 1e9 rows / 1e8 uniform groups the exchange IS the
+    gap vs the reference's shared in-RAM CAS table
+    (q4112.c:169-300) — aligned+sorted B=128 answers in 5.96 s warm
+    / 7.85 s cold vs the reference's 7.64 s and 53.5 s for the
+    repartition-first control; the last weak regime exits. The
+    build (102 s at 1e9 rows) is the table's write-once layout
+    obligation, amortized across every query on the key — the
+    large_inner join discipline transferred to aggregation. SORTED
+    buckets deliberately: the sort is the SCAN's win, not the
+    agg's (store_id-sorted files delta-encode 1.26 GB vs 6.7 GB;
+    the unsorted arm measured 13.7 s scan-bound).
+
+    Fixture scale is correctness-only: build + query both run here
+    (seconds at sf≤0.01); the regime evidence lives in the probe.
+    The table is EXTERNAL at a deterministic per-fixture temp
+    location — catalog metadata is per-process (in-memory), so the
+    location is cleared and rebuilt each call, staleness-proof.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from database_join_spark.operators.bucketing import (
+        write_bucketed_aligned,
+    )
+
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor("l_quantity").cast("long").alias("q"),
+    )
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    loc = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bucketed_agg", tag
+    )
+    # CTAS into a non-empty location is rejected (non-legacy), so
+    # clear both halves of any previous incarnation: catalog entry
+    # (this process) and data files (any process).
+    spark.sql("DROP TABLE IF EXISTS graft_li_agg_bucketed")
+    shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed_aligned(
+        li, "graft_li_agg_bucketed", 8, ["l_orderkey"], path=loc
+    )
+    return (
+        spark.table("graft_li_agg_bucketed")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("q").alias("sum_qty"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # join_salted — replicate-and-salt skew join as a gated query
 # --------------------------------------------------------------------------

@@ -216,6 +216,22 @@ def test_bucketed_aggregate_has_no_groupby_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_li_agg_bucketed")
 
 
+def test_agg_bucketed_exchange_free_registry_plan(spark):
+    """The registry id `agg_bucketed_exchange_free` (round 9) must
+    deliver the plan it is named for: its returned DataFrame scans
+    the external bucketed table and aggregates with NO
+    hashpartitioning exchange on the group key. (Result correctness
+    is the DuckDB oracle's job — this pins the physical shape, the
+    whole point of the id.)"""
+    from database_join_spark.queries import load_all
+
+    df = load_all()["agg_bucketed_exchange_free"].fn(spark, SF_DIR)
+    plan = P.plan_string(df, mode="simple")
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    # and it really is the bucketed scan, not a fallback plain read
+    assert "graft_li_agg_bucketed" in plan, plan
+
+
 def test_aligned_partitioned_write_one_file_per_value(spark, tmp_path):
     """The partitionBy spelling of the alignment discipline
     (write_partitioned_aligned, r08): a naive partitionBy from a
