@@ -516,6 +516,83 @@ def test_stateful_dedup_drops_late_cross_batch_duplicate(spark, tmp_path):
     assert got == [1, 2, 3], got
 
 
+def test_rocksdb_changelog_checkpoint_restores_state_across_restarts(
+    spark, tmp_path
+):
+    """Recovery path of the tuned RocksDB conf set
+    (`rocksdb_state_store_confs(tuned=True)`): changelog
+    checkpointing replaces full per-commit snapshots with changelog
+    uploads, so a RESTART must reconstruct state as
+    last-snapshot + changelog replay — the one mechanism the
+    throughput probes never exercise (they run each arm in one
+    process). Three checkpointed availableNow runs in three fresh
+    query instances: the cross-batch duplicate in run 2 must be
+    dropped by state restored through one changelog version, and the
+    duplicate in run 3 through a deeper version chain — the
+    memory-provider scenario above, extended by one more restart."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark import streaming as ST
+
+    src = tmp_path / "cl_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_cl")
+    out = str(tmp_path / "out_cl")
+
+    def write_batch(subdir: str, rows: list[tuple[int, str]]) -> None:
+        spark.createDataFrame(rows, "event_id BIGINT, ts_s STRING").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(str(src / subdir))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP"
+        ).parquet(f"{src}/*")
+        q = (
+            ST.dedup_within_watermark(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    confs = ST.rocksdb_state_store_confs(tuned=True)
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        write_batch("a", [(1, "2024-01-01 10:00:00"),
+                          (2, "2024-01-01 10:30:00")])
+        run_once()
+        # restart 1: state restored via snapshot + changelog; the
+        # late cross-batch duplicate of id=1 must still be dropped
+        write_batch("b", [(1, "2024-01-01 10:05:00"),
+                          (3, "2024-01-01 09:00:00")])
+        run_once()
+        # restart 2: a deeper changelog chain; duplicate of id=3
+        # (written in the PREVIOUS restart's batch) dropped, new id
+        # kept — state carried through two recoveries
+        write_batch("c", [(3, "2024-01-01 09:30:00"),
+                          (4, "2024-01-01 11:00:00")])
+        run_once()
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == [1, 2, 3, 4], got
+
+
 def test_upsert_sink_with_upstream_dedup_ignores_late_duplicate(
     spark, tmp_path
 ):
