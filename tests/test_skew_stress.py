@@ -126,3 +126,36 @@ def test_pack_sequences_single_exchange_under_skew(spark):
     partition's wire cost."""
     plan = P.plan_string(pack_sequences_frame(_skewed_docs(spark)))
     assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+
+
+def test_skewjoin_detection_confs_shape():
+    """The measured AQE skew-visibility gates (SKEWJOIN_PROBE.json):
+    factor 2.0 is the load-bearing change — 5.0 and 3.0 never fire
+    on the probe's 11×-row-skew shape because detection reads
+    compressed bytes and the constant hot key compresses better
+    than the uniform partitions (bisected). Pin the helper's
+    contract so the encoded rule cannot drift from the artifact."""
+    from database_join_spark.operators.skew import (
+        skewjoin_detection_confs,
+    )
+
+    confs = skewjoin_detection_confs()
+    assert confs["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert (
+        confs["spark.sql.adaptive.skewJoin.skewedPartitionFactor"]
+        == "2.0"
+    )
+    assert (
+        confs[
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes"
+        ]
+        == "16m"
+    )
+    # parameterizable without changing the conf keys
+    loose = skewjoin_detection_confs(factor=4.0, threshold="64m")
+    assert (
+        loose["spark.sql.adaptive.skewJoin.skewedPartitionFactor"]
+        == "4.0"
+    )
+    assert set(loose) == set(confs)
