@@ -155,6 +155,41 @@ def write_partitioned_aligned(
     )
 
 
+def compute_bound_read_confs(
+    max_partition_bytes: str = "1m", open_cost: str = "64k"
+) -> dict[str, str]:
+    """Per-query scan confs for a stored table feeding a
+    COMPUTE-bound consumer (measured, IVF_SPLIT_PROBE.json).
+
+    A scan's partition count — and with it the task structure of
+    every exchange-free stage built on top — is sized by
+    ``spark.sql.files.maxPartitionBytes`` (128m) plus a per-file
+    ``openCostInBytes`` pad (4m). Those defaults are tuned for
+    scan-bound reads; a consumer doing real work per row (ANN
+    rescoring, GEMM scoring, decode) starves: the stored-IVF
+    full-coverage query ran 58.4 s over the 66 default-sized splits
+    of its 2048-file index but 16.5 s over 409 conf-sized splits —
+    overturning the r08 conclusion that no stored layout approaches
+    the inline arm (26.1 s same-session). The same sweep measured
+    the FLOOR of this lever: splits cannot subdivide a parquet ROW
+    GROUP, so the one-file-per-value aligned layout (single big row
+    group per cell) stayed at 74+ s under every conf — its extra
+    "partitions" were empty byte-ranges. Rule: for compute-bound
+    consumers keep many small row groups (the natural fragmented
+    write) and open the read gates; reserve the aligned compact
+    layout for scan-bound readers (its own measured regime,
+    LI_BUCKET_SWEEP / write_partitioned_aligned docstring).
+
+    Apply per-query (set around the read, restore after): these
+    gates are wrong for genuinely scan-bound tables, where per-file
+    and per-task overheads dominate.
+    """
+    return {
+        "spark.sql.files.maxPartitionBytes": max_partition_bytes,
+        "spark.sql.files.openCostInBytes": open_cost,
+    }
+
+
 def data_file_count(spark: SparkSession, table: str) -> int:
     """Number of data files backing a saved table (layout audit:
     an aligned bucketed table reports exactly its bucket count).

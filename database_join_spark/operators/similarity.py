@@ -305,7 +305,17 @@ def ivf_topk(
     fingerprint in its schema metadata; it is validated against the
     centroid half here, so a corpus paired with centroids from a
     different build (or a table not written by :func:`ivf_index`)
-    raises instead of silently returning degraded top-k."""
+    raises instead of silently returning degraded top-k.
+
+    Stored-read sizing (round 9, IVF_SPLIT_PROBE.json): the scoring
+    stage's parallelism follows the stored table's SCAN partitioning,
+    and default split confs starve it — read the index under
+    ``bucketing.compute_bound_read_confs()`` (1m splits / 64k open
+    cost). With that, the stored index runs the full-cell-coverage
+    batch 16.5 s vs 26.1 s inline — the regime it previously LOST
+    2× now wins; keep the natural fragmented write (many small row
+    groups), since splits cannot subdivide a parquet row group and
+    the compacted aligned layout pins its own floor at 74+ s."""
     from pyspark.sql import Window
 
     if index is None:

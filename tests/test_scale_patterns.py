@@ -285,3 +285,59 @@ def test_aligned_partitioned_write_one_file_per_value(spark, tmp_path):
     back2 = spark.read.parquet(out2)
     assert back2.count() == 1000
     assert back2.groupBy().agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+def test_compute_bound_read_confs_change_scan_splits(spark, tmp_path):
+    """The round-9 split-starvation fix (IVF_SPLIT_PROBE.json): a
+    many-file partitioned table read under
+    `compute_bound_read_confs()` must scan with MORE partitions
+    than under the default gates — the mechanism (openCostInBytes
+    padding + maxPartitionBytes packing) pinned at fixture scale,
+    where the 409-vs-66-split / 16.5-vs-58.4 s volume effect lives
+    in the artifact."""
+    from database_join_spark.operators.bucketing import (
+        compute_bound_read_confs,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    path = str(tmp_path / "frag")
+    # many small files: the natural compute-bound-consumer layout
+    li.repartition(24).write.mode("overwrite").parquet(path)
+
+    confs = compute_bound_read_confs()
+    assert set(confs) == {
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes",
+    }
+
+    def parts_under(c: dict[str, str]) -> int:
+        prev = {k: spark.conf.get(k, None) for k in c}
+        for k, v in c.items():
+            spark.conf.set(k, v)
+        try:
+            return spark.read.parquet(path).rdd.getNumPartitions()
+        finally:
+            for k, old in prev.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+
+    # packing-friendly gates (the volume-default regime that packed
+    # the probe's 2048 index files into 66 splits; minPartitionNum
+    # floored so fixture-scale tininess doesn't re-split)
+    packed = parts_under(
+        {
+            "spark.sql.files.maxPartitionBytes": "1g",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.files.minPartitionNum": "1",
+        }
+    )
+    opened = parts_under(confs)
+    # opened gates must defeat packing: at least one task per file
+    # (row-group granularity is the ceiling — also the probe's
+    # measured floor for single-row-group aligned layouts)
+    assert packed < 24, packed
+    assert opened >= 24, (packed, opened)
