@@ -148,6 +148,11 @@ def _run_arm_inner(spark, src_dir: str, pipeline, mode: str, output_mode: str):
         progress = [json.loads(p.json) for p in q.recentProgress]
         q.stop()
     rows = sum(p.get("numInputRows", 0) for p in progress)
+    rows_out = sum(
+        p.get("sink", {}).get("numOutputRows", 0)
+        for p in progress
+        if p.get("sink", {}).get("numOutputRows", -1) >= 0
+    )
     rates = [
         p["processedRowsPerSecond"]
         for p in progress
@@ -165,6 +170,7 @@ def _run_arm_inner(spark, src_dir: str, pipeline, mode: str, output_mode: str):
     return {
         "wall_sec": round(wall, 2),
         "events": rows,
+        "rows_out": rows_out,
         "events_per_sec": round(rows / wall),
         "batches": len([p for p in progress if p.get("numInputRows")]),
         "batch_rows_per_sec_min_med_max": (
