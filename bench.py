@@ -380,6 +380,7 @@ def _throughput(spark) -> dict[str, float]:
         "tasks_per_core": nr_sizing.tasks_per_core,
         "profile": nr_sizing.profile,
         "repartition_first": not nr_sizing.partial_before_exchange,
+        "layout_hint": nr_sizing.layout_hint,
         "estimate_sec": round(nr_est_sec, 2),
         "estimate_cached": nr_est_cached,
         # the profile is build-time; this (shared) bench session is

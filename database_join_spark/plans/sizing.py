@@ -126,6 +126,19 @@ class AggSizing:
     #: artifact, ~2.3× under heavy host pressure; REGROUP_PROBE.json
     #: + BASELINE.md §repartition-first).
     partial_before_exchange: bool = True
+    #: Write-once layout that removes this aggregate's exchange
+    #: entirely, when one is proven for the regime (round 9):
+    #: "bucket_on_group_key" in the uniform no-reduction regime —
+    #: write the fact via write_bucketed_aligned on the group key
+    #: and the groupBy inherits the bucketed partitioning
+    #: (BUCKETED_AGG_PROBE.json: 5.96 s warm vs 53.5 s for this
+    #: decision's own repartition-first spelling at groups=1e8;
+    #: bench row part2_groups1e8_bucketed). A HINT, not an action:
+    #: the planner cannot rewrite a table's storage — the caller
+    #: owns the write-once cost and amortization horizon. None when
+    #: no layout win is measured for the regime (the skewed branch:
+    #: a hot key concentrates one bucket, unmeasured).
+    layout_hint: str | None = None
 
     def tasks(self, cores: int) -> int:
         return self.tasks_per_core * cores
@@ -181,6 +194,7 @@ def decide(
             4,
             "default",
             partial_before_exchange=False,
+            layout_hint="bucket_on_group_key",
         )
     cover_bit = math.ceil(math.log2(est * _COVER_SLACK))
     bit = min(FAST_MAP_MAX_BIT, max(FAST_MAP_MIN_BIT, cover_bit))

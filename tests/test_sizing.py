@@ -56,6 +56,18 @@ def test_decide_thresholds_match_measured_regimes():
     )
     assert s.partial_before_exchange is False
     assert s.tasks(32) == 128
+    # round 9: the regime's measured ENDGAME is named as a layout
+    # hint (BUCKETED_AGG_PROBE: bucket the fact on the group key ->
+    # exchange-free groupBy, 5.96 s vs this decision's own 53.5 s
+    # repartition-first control at 1e9 rows / 1e8 groups); the
+    # mid/low regimes and the skew fallback carry none (unmeasured
+    # or no exchange worth removing)
+    assert s.layout_hint == "bucket_on_group_key"
+    assert decide(1_000_000).layout_hint is None
+    assert decide(100).layout_hint is None
+    skewed = decide(100_000_000, top_share=0.5)
+    assert skewed.partial_before_exchange is True
+    assert skewed.layout_hint is None
 
 
 def test_decide_boundaries():
