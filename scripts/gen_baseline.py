@@ -124,9 +124,14 @@ def render(bench_path: Path) -> str:
             f"| {label} | {ref:.2f} s ⇒ {rows_total / ref / 1e9:.2f} G tuples/s "
             f"| {sec:.2f} s ⇒ {gps:.2f} G tuples/s | {sec / ref:.2f}× |"
         )
+    # bench.py strips *_gtuples_per_sec from the slim driver line
+    # (derivable), so derive here: every part2 variant scans the same
+    # rows_total outer tuples; large_inner scans its probe count.
     hc_sec = wl.get("part2_groups1e6_sec")
     if hc_sec is not None:
-        hc_gps = wl.get("part2_groups1e6_gtuples_per_sec", 0.0)
+        hc_gps = wl.get(
+            "part2_groups1e6_gtuples_per_sec", rows_total / hc_sec / 1e9
+        )
         ref_hc = 6.98  # q4112.csv:51-75, groups=1e6 @16T
         lines.append(
             f"| Part 2, groups=1e6 (high-cardinality agg) "
@@ -137,7 +142,9 @@ def render(bench_path: Path) -> str:
     li_sec = wl.get("large_inner_sec")
     if li_sec is not None:
         li_rows = wl.get("large_inner_rows", 0)
-        li_gps = wl.get("large_inner_gtuples_per_sec", 0.0)
+        li_gps = wl.get(
+            "large_inner_gtuples_per_sec", li_rows / li_sec / 1e9
+        )
         lines.append(
             f"| large_inner (inner=1e7, SHUFFLE_HASH, {li_rows:.0e} probes) "
             f"| — (no matching ref config; see Large-build-side section) "
@@ -145,7 +152,10 @@ def render(bench_path: Path) -> str:
         )
     lb_sec = wl.get("large_inner_bucketed_sec")
     if lb_sec is not None:
-        lb_gps = wl.get("large_inner_bucketed_gtuples_per_sec", 0.0)
+        lb_rows = wl.get("large_inner_rows", 0)
+        lb_gps = wl.get(
+            "large_inner_bucketed_gtuples_per_sec", lb_rows / lb_sec / 1e9
+        )
         build = wl.get("large_inner_bucketed_build_sec", 0.0)
         lines.append(
             f"| large_inner, bucketed co-located (amortized; one-time "
