@@ -599,10 +599,18 @@ def main() -> None:
         full["thread_scaling"] = json.loads(scaling.read_text())
         full["thread_scaling"]["source"] = "scripts/thread_scaling.py"
     # BENCH_FULL_PATH override keeps toy/smoke runs (tests) from
-    # clobbering the committed full-payload artifact of record.
-    full_path = Path(
-        os.environ.get("BENCH_FULL_PATH", Path(_REPO) / "BENCH_FULL.json")
+    # clobbering the committed full-payload artifact of record; an
+    # SF-only control run (empty reference_workload) must not either
+    # (ADVICE r09), so it defaults to its own sidecar.
+    default_full = (
+        "BENCH_SF_ONLY.json"
+        if os.environ.get("BENCH_SF_ONLY", "0") == "1"
+        else "BENCH_FULL.json"
     )
+    full_path = Path(
+        os.environ.get("BENCH_FULL_PATH", Path(_REPO) / default_full)
+    )
+    out["full_artifact"] = full["full_artifact"] = full_path.name
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 
     line = json.dumps(out, separators=(",", ":"))

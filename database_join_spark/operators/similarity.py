@@ -694,6 +694,15 @@ def kmeans_assign_topm(
             raise ValueError(f"ratio must be >= 1, got {ratio}")
         frac = Fraction(ratio).limit_denominator(8)
         p, q = frac.numerator, frac.denominator
+        # The int64 filter needs a small exact fraction; refuse a
+        # silent snap (ADVICE r09: 1.1 would become 9/8 = 1.125 with
+        # no signal beyond the docstring).
+        if abs(p / q - ratio) > 1e-9:
+            raise ValueError(
+                f"ratio={ratio} is not exactly representable with "
+                f"denominator <= 8 (nearest {p}/{q} = {p / q}); pass "
+                f"one that is (e.g. 1.25, 1.5, 9/8 = 1.125)"
+            )
         blocks = (
             f"transform(filter(top_m, s -> s['dists'] * {q}L <= "
             f"top_m[0]['dists'] * {p}L), s -> CAST(s['1'] AS INT))"

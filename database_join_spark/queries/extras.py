@@ -301,8 +301,10 @@ def agg_bucketed_exchange_free(
         F.floor("l_quantity").cast("long").alias("q"),
     )
     tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # uid-keyed like the ANN store (ADVICE r09): avoids cross-user
+    # squatting/races on shared hosts.
     loc = os.path.join(
-        tempfile.gettempdir(), "spark_graft_bucketed_agg", tag
+        tempfile.gettempdir(), f"spark_graft_bucketed_agg_u{os.getuid()}", tag
     )
     # CTAS into a non-empty location is rejected (non-legacy), so
     # clear both halves of any previous incarnation: catalog entry

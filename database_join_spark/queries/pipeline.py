@@ -498,8 +498,14 @@ def _ann_store_dir(sf_dir: str) -> str:
     import tempfile
 
     tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # uid in the path (ADVICE r09): a fixed /tmp location is
+    # squat-prone on shared hosts and races across users running the
+    # same fixtures; same-user concurrent runs still share (documented
+    # staleness-proof overwrite above).
     d = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ann_store", tag
+        tempfile.gettempdir(),
+        f"spark_graft_ann_store_u{os.getuid()}",
+        tag,
     )
     os.makedirs(d, exist_ok=True)
     return d

@@ -569,6 +569,10 @@ def test_kmeans_assign_topm_matches_numpy_stable_argsort(spark):
     assert got_adaptive <= got  # cap respected
     # every vector keeps its home block
     assert {i for i, _ in got_adaptive} == {int(i) for i in ids}
+    # A ratio the q<=8 integer filter can't represent exactly must
+    # raise, not silently snap (ADVICE r09: 1.1 would become 9/8).
+    with pytest.raises(ValueError, match="not exactly representable"):
+        kmeans_assign_topm(base, cents, m=m, ratio=1.1)
 
 
 def test_kmeans_fit_clamps_k_to_row_count(spark):
