@@ -320,6 +320,131 @@ def estimate_top_share(
     return float(row["mx"]) / float(row["tot"])
 
 
+@dataclass(frozen=True)
+class SkewJoinPlan:
+    """The strategy chosen for one potentially-skewed fact⋈dim join.
+
+    ``strategy`` is one of:
+
+    - ``"broadcast"`` — the dim fits the session's broadcast budget;
+      skew is irrelevant because no fact shuffle happens at all.
+    - ``"plain"``     — no heavy hitter visible; stock SMJ/SHJ under
+      default AQE gates is already right.
+    - ``"aqe_split"`` — heavy hitter + shuffle join: run under
+      :func:`operators.skew.skewjoin_detection_confs` (``confs``
+      carries them) — the measured best fix (SKEWJOIN_PROBE.json:
+      20.2 s vs 33.0 salted / 45.7 no-fix / 59.0 blind-default at
+      4e8 rows, hot key 25%).
+    - ``"salted"``    — heavy hitter but the caller flagged that AQE
+      conf control is unavailable (non-shuffle plan, locked session):
+      :func:`operators.skew.salted_join` with ``salts``; pass an
+      explicit ``salt_src`` when the projected fact is key-only (the
+      measured bare_salted_rowhash trap).
+    """
+
+    est_dim_rows: int
+    top_share: float | None
+    strategy: str
+    #: per-query SQL confs to apply for "aqe_split"; empty otherwise
+    confs: dict[str, str]
+    #: recommended replication for "salted" (the probe's measured
+    #: arm ran 8 at hot-share 0.25); 0 otherwise
+    salts: int = 0
+
+
+#: Broadcast budget: the session's autoBroadcastJoinThreshold
+#: (session.py sets 64 MB — generous local[32] headroom; at 1000
+#: executors a 64 MB relation is still a cheap torrent broadcast).
+BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+#: Assumed in-memory bytes per dim row when the caller has only a
+#: row count (narrow key+payload dim; a wide dim should pass real
+#: bytes from table stats). 32 B/row puts the 64 MB budget at 2e6
+#: rows — the probe's 1e7-row dim is correctly ineligible.
+DIM_ROW_BYTES = 32
+#: Measured salted_join replication (SKEWJOIN_PROBE ``salted`` arm:
+#: salts=8 at hot-share 0.25 on 128 partitions — 33.0 s vs 45.7 no
+#: fix). Kept a constant, not a formula: no other salt count has
+#: been measured.
+SALTED_JOIN_SALTS = 8
+
+
+def decide_skewjoin(
+    top_share: float | None,
+    dim_rows: int,
+    partitions: int = DEFAULT_PARTITIONS,
+    dim_bytes: int | None = None,
+    can_set_confs: bool = True,
+) -> SkewJoinPlan:
+    """Pure decision step for a fact⋈dim equi-join under possible
+    fact-side key skew — the join-side twin of :func:`decide`
+    (VERDICT r09 #1): the reference sizes its OTHER operator, the
+    join of ``q4112_hj.c:95-133``, from the same estimate discipline.
+
+    Ladder, thresholds from measured arms:
+
+    1. dim fits the broadcast budget → broadcast; no shuffle exists
+       for skew to hurt (and AQE's split only applies to SMJ/SHJ).
+    2. no heavy hitter (``top_share · partitions ≤`` the same
+       :data:`SKEW_TOP_SHARE_FACTOR` fair-share rule the aggregate
+       guard uses — one reducer holding ≤2× fair share is fine) →
+       plain join, stock gates.
+    3. heavy hitter → opened-gate AQE split
+       (SKEWJOIN_PROBE: the best arm, and the ONLY arm that fires on
+       the pathological key-only fact). Byte-blind default gates are
+       deliberately not an option: the hot partition's constant key
+       over-compresses, measured 11× row skew reading as 2–3× bytes.
+    4. heavy hitter but ``can_set_confs=False`` → salted_join with
+       the measured replication, the fix that needs no conf control.
+
+    ``top_share=None`` (empty sample / unknown) is treated as
+    no-heavy-hitter: stock AQE gates stay, matching :func:`decide`'s
+    optimism — the failure mode is a slow first run, not a wrong
+    answer, and the sampled estimate is one cheap pass away.
+    """
+    est_dim = max(int(dim_rows), 1)
+    est_bytes = dim_bytes if dim_bytes is not None else est_dim * DIM_ROW_BYTES
+    if est_bytes <= BROADCAST_MAX_BYTES:
+        return SkewJoinPlan(est_dim, top_share, "broadcast", {})
+    skewed = (
+        top_share is not None
+        and top_share * partitions > SKEW_TOP_SHARE_FACTOR
+    )
+    if not skewed:
+        return SkewJoinPlan(est_dim, top_share, "plain", {})
+    if can_set_confs:
+        from database_join_spark.operators.skew import (
+            skewjoin_detection_confs,
+        )
+
+        return SkewJoinPlan(
+            est_dim, top_share, "aqe_split", skewjoin_detection_confs()
+        )
+    return SkewJoinPlan(
+        est_dim, top_share, "salted", {}, salts=SALTED_JOIN_SALTS
+    )
+
+
+def plan_skewjoin(
+    fact: DataFrame,
+    key: str,
+    dim: DataFrame,
+    partitions: int = DEFAULT_PARTITIONS,
+    can_set_confs: bool = True,
+) -> SkewJoinPlan:
+    """Estimate the two inputs :func:`decide_skewjoin` needs and
+    decide — the FM-sizing loop closed for the join operator. One
+    column-pruned count on the dim (dims are the small side by
+    contract) and one sampled row-frequency pass on the fact key
+    (:func:`estimate_top_share`; frequency shares extrapolate from
+    row samples, distinct counts don't)."""
+    return decide_skewjoin(
+        estimate_top_share(fact, [key]),
+        dim.count(),
+        partitions=partitions,
+        can_set_confs=can_set_confs,
+    )
+
+
 def plan_for(
     df: DataFrame,
     group_cols: list[str],

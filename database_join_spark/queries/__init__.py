@@ -45,49 +45,45 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: membership in this set. History per id stays in STATUS.md
 #: (generated from the committed CORRECTNESS artifacts).
 #:
-#: Round-9 rotation (VERDICT r08 #3-#4, rotation 7): rotate in the
-#: complete r06 staleness tail — the 16 TPC-H queries plus
-#: ``multimodal_features``, now the oldest rows on the board — plus
-#: ``text_analysis`` (r07, sat out rotation 6 as promised), the
-#: two NEW stored-ANN ids ``simsearch_lsh_stored`` /
-#: ``simsearch_ivf_stored`` (first driver rows for the operators'
-#: documented 100 TB posture, VERDICT r08 #4), and the NEW
-#: ``agg_bucketed_exchange_free`` (first driver row for the
-#: round-9 weak-regime fix — the engine's recommended no-reduction
-#: aggregate spelling, BUCKETED_AGG_PROBE.json). The 21 slots come
-#: from ids that all earned full green r08 rows (the join/agg/
-#: dedup-baseline block below the kept set, plus ``pivot_wide``);
-#: they remain pytest-hash-compared every run
-#: (tests/test_oracle_parity.py). After this round no registry
-#: id's newest driver row is older than r07.
+#: Round-10 rotation (VERDICT r09 #3, rotation 8): retire the r07
+#: tail — all 45 ids whose newest driver row is r07 (the whole
+#: r04/r07 alternating block, computed by set arithmetic over the 9
+#: committed CORRECTNESS artifacts) — plus the NEW ``join_skew_auto``
+#: (first driver row for the skew-join decision ladder, VERDICT r09
+#: #1) and the 4-id flagship block. 45 + 1 + 4 = exactly the 50-row
+#: cap. Everything rotated out holds a fresh r09 row and remains
+#: pytest-hash-compared every run (tests/test_oracle_parity.py).
+#: After this round no registry id's newest driver row is older
+#: than r08.
 #:
 #: Rotation history: r06 gave first rows to the r06-born ids except
 #: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
 #: tail. Rotation 6 (r08, VERDICT r07 #5) rotated in the entire
 #: ≤r05 staleness tail + ``stream_interval_join`` (r04) — after r08
-#: no id older than r06. Rotation 7 is this one.
+#: no id older than r06. Rotation 7 (r09, VERDICT r08 #3-#4) took
+#: the r06 tail (16 TPC-H ids + ``multimodal_features``) plus the
+#: three round-9-born ids — after r09 no id older than r07.
+#: Rotation 8 is this one.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- newest row r06 (the complete staleness tail, rotation 7)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21",
-    "tpch_q22", "multimodal_features",
-    # -- newest row r07: rejoins after sitting out rotation 6
-    "text_analysis",
-    # -- first driver rows: stored-ANN surfaces (VERDICT r08 #4)
-    #    and the bucketed exchange-free aggregate (round-9 fix)
-    "simsearch_lsh_stored", "simsearch_ivf_stored",
-    "agg_bucketed_exchange_free",
-    # -- kept from rotation 6 (fresh r08 rows; stay for continuity
-    #    of the streaming/text/window/simsearch families)
-    "stream_interval_join", "dedup_minhash", "join_outer",
-    "join_range", "join_semi_anti", "join_sortmerge",
-    "project_expr", "scalar_funcs", "scan_columnar", "set_ops",
-    "simsearch_embed", "simsearch_ivf", "simsearch_lsh",
-    "sort_limit", "source_synthdocs", "stream_session",
-    "stream_tumbling", "text_langid", "text_quality", "text_winnow",
-    "udf_surface", "udtf_surface", "window_analytic",
-    "window_distribution", "window_rank_topk",
+    # -- newest row r07: the complete staleness tail (45 ids)
+    "agg_argmax", "agg_avg_int_ext", "agg_quantile_exact",
+    "agg_repartition_first", "anomaly_zscore", "bpe_pair_counts",
+    "chunk_documents", "corpus_clean", "corpus_mix",
+    "decontam_bloom", "decontam_ngram", "dedup_clusters",
+    "dedup_first_event", "dedup_incremental", "dedup_semantic",
+    "dedup_substring", "dedup_substring_apply",
+    "distinct_hll_sketch", "embed_quantize", "event_funnel",
+    "heavy_hitters_approx", "join_asof", "join_asof_bucketed",
+    "join_bloom_prefilter", "join_range_binned", "join_salted",
+    "ngram_counts", "pack_sequences", "pii_scrub",
+    "quality_gopher_rules", "quality_lm_surprisal",
+    "quality_repetition", "retention_cohorts", "sample_hash_split",
+    "sample_stratified", "sample_weighted", "seq_len_hist",
+    "sessionize_events", "stream_sliding", "text_vocab",
+    "tfidf_terms", "topic_kmeans", "udf_grouped",
+    "udf_grouped_agg", "variant_json",
+    # -- first driver row: the skew-join decision ladder (r10)
+    "join_skew_auto",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
     #    is re-proven under the driver every round)
     "agg_scalar_avg",

@@ -380,6 +380,77 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# join_skew_auto — the skew-join decision ladder driving a live plan
+# --------------------------------------------------------------------------
+@query(
+    "join_skew_auto",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT) * p_size)
+                AS BIGINT) AS size_weighted
+    FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                      ELSE l_partkey END AS k,
+                 l_returnflag, l_extendedprice
+          FROM lineitem) f
+    JOIN part ON p_partkey = f.k
+    GROUP BY l_returnflag
+    """,
+    tags=("extras", "join", "skew", "sizing"),
+)
+def join_skew_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈dim join whose strategy is CHOSEN by the planner
+    (plans/sizing.plan_skewjoin, VERDICT r09 #1) — the join-side twin
+    of the FM-sizing loop the reference runs for its aggregate
+    (``q4112.c:336-377`` feeding the join of ``q4112_hj.c:95-133``).
+
+    The fact plants a deterministic heavy hitter (half of lineitem
+    lands on partkey 1 — SQL-expressible, so the oracle sees the
+    identical key mapping); the planner samples the top key's share,
+    counts the dim, and walks the measured ladder: broadcast if the
+    dim fits 64 MB, stock gates if no heavy hitter, opened-gate AQE
+    split (SKEWJOIN_PROBE's best arm) else, salted_join when conf
+    control is unavailable. A registry query must not mutate its
+    session, so this call runs with ``can_set_confs=False`` — the
+    aqe_split branch is exercised by the probe's auto arm and the
+    test_sizing pins. At fixture scale the decision is "broadcast"
+    (part is tiny); test_sizing asserts the plan FOLLOWS the
+    estimate, not a constant, by forcing the other branches.
+    """
+    from database_join_spark.operators.skew import salted_join
+    from database_join_spark.plans.sizing import plan_skewjoin
+
+    configure_session(spark)
+    fact = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        "l_returnflag",
+        F.floor("l_extendedprice").cast("long").alias("price"),
+    )
+    dim = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), "p_size"
+    )
+    plan = plan_skewjoin(fact, "k", dim, can_set_confs=False)
+    if plan.strategy == "broadcast":
+        joined = fact.join(F.broadcast(dim), on="k")
+    elif plan.strategy == "salted":
+        # fact rows carry payload beyond the key, so the default
+        # row-hash salt has entropy (the bare-fact trap documented
+        # on salted_join does not apply); shuffle_hash keeps the
+        # replicated dim out of a pointless broadcast
+        joined = salted_join(
+            fact, dim.hint("shuffle_hash"), "k", salts=plan.salts
+        )
+    else:  # "plain" — stock AQE gates are already right
+        joined = fact.join(dim, on="k")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("price") * F.col("p_size")).alias("size_weighted"),
+    )
+
+
+# --------------------------------------------------------------------------
 # join_bloom_prefilter — manual Bloom probe-side pruning for shuffle joins
 # --------------------------------------------------------------------------
 @query(

@@ -173,6 +173,92 @@ def test_estimate_top_share_detects_planted_hot_key(spark):
 
 
 # --------------------------------------------------------------------------
+# Skew-join decision (VERDICT r09 #1): SKEWJOIN_PROBE's hand-picked
+# ladder as pinned thresholds — the join-side twin of decide().
+# --------------------------------------------------------------------------
+def test_decide_skewjoin_ladder():
+    from database_join_spark.operators.skew import (
+        skewjoin_detection_confs,
+    )
+    from database_join_spark.plans.sizing import (
+        SALTED_JOIN_SALTS,
+        SKEW_TOP_SHARE_FACTOR,
+        decide_skewjoin,
+    )
+
+    # the probe's exact shape: hot key 25% of a 4e8-row fact over a
+    # 1e7-row dim (320 MB assumed — broadcast-ineligible), 128
+    # partitions → opened-gate AQE split, the measured best arm
+    # (20.2 s vs 33.0 salted / 45.7 no-fix / 59.0 blind default)
+    s = decide_skewjoin(0.25, 10_000_000, partitions=128)
+    assert s.strategy == "aqe_split"
+    assert s.confs == skewjoin_detection_confs()
+    # a dim inside the 64 MB broadcast budget never shuffles the
+    # fact — skew is irrelevant, broadcast wins at ANY top share
+    assert decide_skewjoin(0.9, 1_000_000).strategy == "broadcast"
+    # explicit byte stats beat the 32 B/row assumption both ways
+    assert (
+        decide_skewjoin(0.9, 1_000_000, dim_bytes=1 << 30).strategy
+        != "broadcast"
+    )
+    assert (
+        decide_skewjoin(0.9, 10_000_000, dim_bytes=1 << 20).strategy
+        == "broadcast"
+    )
+    # no heavy hitter (uniform fact) → stock gates; lowering the
+    # AQE factor globally would split mild skew everywhere
+    assert decide_skewjoin(1e-7, 10_000_000).strategy == "plain"
+    # unknown share (empty sample) → optimistic, like decide()
+    assert decide_skewjoin(None, 10_000_000).strategy == "plain"
+    # same fair-share boundary as the aggregate guard
+    b = SKEW_TOP_SHARE_FACTOR / 128
+    assert decide_skewjoin(b, 10_000_000, 128).strategy == "plain"
+    assert decide_skewjoin(b * 1.01, 10_000_000, 128).strategy == (
+        "aqe_split"
+    )
+    # conf control unavailable → the manual fix, measured replication
+    s = decide_skewjoin(0.25, 10_000_000, 128, can_set_confs=False)
+    assert s.strategy == "salted" and s.salts == SALTED_JOIN_SALTS
+
+
+def test_plan_skewjoin_end_to_end(spark):
+    """plan_skewjoin's estimates drive the decision on live frames:
+    a planted 50%-share fact key over a too-big-to-broadcast dim
+    picks the split; the same fact over a small dim broadcasts."""
+    from database_join_spark.plans.sizing import plan_skewjoin
+
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    big_dim = spark.range(0, 3_000_000).select(F.col("id").alias("k"))
+    small_dim = spark.range(0, 1_000).select(F.col("id").alias("k"))
+    # sample fraction bumped for the 2e5-row toy fact
+    from database_join_spark.plans import sizing as SZ
+
+    share = SZ.estimate_top_share(fact, ["k"], fraction=0.05)
+    assert share is not None and share > 0.4
+    plan = SZ.decide_skewjoin(share, big_dim.count(), partitions=128)
+    assert plan.strategy == "aqe_split"
+    assert plan_skewjoin(fact, "k", small_dim).strategy == "broadcast"
+
+
+def test_join_skew_auto_plan_follows_estimate(spark):
+    """The gated query's plan is the decision's output: at fixture
+    scale the dim fits the broadcast budget, so the optimized plan
+    must carry the broadcast (and the answer is oracle-checked by
+    the driver/test_oracle_parity either way)."""
+    from tests.conftest import SF_DIR
+
+    from database_join_spark.plans import assert_broadcast_join
+    from database_join_spark.queries import load_all
+
+    df = load_all()["join_skew_auto"].fn(spark, SF_DIR)
+    assert_broadcast_join(df)
+
+
+# --------------------------------------------------------------------------
 # Bloom-prefilter decision (VERDICT r06 #7): the BLOOM_JOIN_PROBE
 # envelope as pinned thresholds, and the registry query whose plan
 # actually changes with the estimate.
