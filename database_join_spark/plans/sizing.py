@@ -135,9 +135,18 @@ class AggSizing:
     #: decision's own repartition-first spelling at groups=1e8;
     #: bench row part2_groups1e8_bucketed). A HINT, not an action:
     #: the planner cannot rewrite a table's storage — the caller
-    #: owns the write-once cost and amortization horizon. None when
-    #: no layout win is measured for the regime (the skewed branch:
-    #: a hot key concentrates one bucket, unmeasured).
+    #: owns the write-once cost and amortization horizon. Round 10
+    #: measured the SKEWED branch too (BUCKETED_AGG_SKEW_PROBE.json,
+    #: 1e9 rows / 1e8 groups): hh100 @ p=0.5 the layout wins ~3×
+    #: (9.9 s vs the 29.3 s repartition control), and even hh1 @
+    #: p=0.5 — half the fact on ONE key, concentrating one bucket —
+    #: wins 1.9× (23.3 s vs the 43.5 s partial-agg control), because
+    #: the hot bucket's constant key delta-compresses to a 121 MB
+    #: file whose single-task scan beats exchanging the hot mass.
+    #: The skewed branch's hint carries two measured prices the
+    #: uniform branch doesn't: the one-time build pays a writer
+    #: straggler (574 s vs 137 s at hh1 — one task sorts 5e8 rows),
+    #: and the query floor is the hot bucket's single-task scan.
     layout_hint: str | None = None
 
     def tasks(self, cores: int) -> int:
@@ -187,6 +196,13 @@ def decide(
                 4,
                 "wide-exchange",
                 partial_before_exchange=True,
+                # round 10: the layout endgame holds under skew too
+                # (BUCKETED_AGG_SKEW_PROBE: hh1 1.9×, hh100 ~3× over
+                # each shape's best inline spelling) — the hot mass
+                # delta-compresses inside its sorted bucket. The
+                # build-side straggler is the caller's price (see
+                # the layout_hint field note).
+                layout_hint="bucket_on_group_key",
             )
         return AggSizing(
             est,

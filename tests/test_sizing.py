@@ -60,14 +60,19 @@ def test_decide_thresholds_match_measured_regimes():
     # hint (BUCKETED_AGG_PROBE: bucket the fact on the group key ->
     # exchange-free groupBy, 5.96 s vs this decision's own 53.5 s
     # repartition-first control at 1e9 rows / 1e8 groups); the
-    # mid/low regimes and the skew fallback carry none (unmeasured
-    # or no exchange worth removing)
+    # mid/low regimes carry none (no exchange worth removing)
     assert s.layout_hint == "bucket_on_group_key"
     assert decide(1_000_000).layout_hint is None
     assert decide(100).layout_hint is None
+    # round 10: the SKEWED branch carries the hint too
+    # (BUCKETED_AGG_SKEW_PROBE: hh1 @ p=0.5 23.3 s bucketed vs
+    # 43.5 s partial-agg control — the hot bucket's constant key
+    # delta-compresses, and its single-task scan beats exchanging
+    # the hot mass; hh100 ~3x). The inline spelling choice is
+    # unchanged (partial agg still crushes the hot key map-side).
     skewed = decide(100_000_000, top_share=0.5)
     assert skewed.partial_before_exchange is True
-    assert skewed.layout_hint is None
+    assert skewed.layout_hint == "bucket_on_group_key"
 
 
 def test_decide_boundaries():
