@@ -521,14 +521,13 @@ def main() -> None:
     # adjudication becomes a table read.
     host_start = host_snapshot()
 
-    timings: dict[str, float] = {}
-    for name, spec in headline.items():
-        _run_once(spec.fn, spark, SF_DIR)  # warm-up, untimed
-        runs = [_run_once(spec.fn, spark, SF_DIR) for _ in range(REPEATS)]
-        timings[name] = round(statistics.median(runs), 4)
-        print(f"# {name}: {timings[name]} s {runs}", file=sys.stderr)
-
-    host_mid = host_snapshot()
+    # Section order (VERDICT r09 #8): the reference-workload rows are
+    # the headline ratios the judge reads, so they run FIRST, in the
+    # quiet start-of-capture host window — BENCH r09 ran them last
+    # and its bucketed-cold row sat under load1 27.2 that the capture
+    # itself had built up. The sf-fixture set follows; its
+    # round-over-round comparisons already read the per-section host
+    # blocks (drift-adjudication protocol).
     # BENCH_SF_ONLY=1: capture just the sf-fixture section — the
     # cheap (~3 min) control the drift-adjudication protocol needs
     # (VERDICT r08 #7); a full capture re-times the 1e9-row section
@@ -537,6 +536,14 @@ def main() -> None:
         throughput = {}
     else:
         throughput = _throughput(spark)
+    host_mid = host_snapshot()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        _run_once(spec.fn, spark, SF_DIR)  # warm-up, untimed
+        runs = [_run_once(spec.fn, spark, SF_DIR) for _ in range(REPEATS)]
+        timings[name] = round(statistics.median(runs), 4)
+        print(f"# {name}: {timings[name]} s {runs}", file=sys.stderr)
     host_end = host_snapshot()
 
     # The driver records only the last 2,000 chars of stdout
@@ -591,7 +598,7 @@ def main() -> None:
     full["reference_workload"] = throughput
     full["host"] = {
         "start": host_start,
-        "mid_after_sf_fixture": host_mid,
+        "mid_after_reference_workload": host_mid,
         "end": host_end,
     }
     scaling = Path(_REPO) / "THREAD_SCALING.json"

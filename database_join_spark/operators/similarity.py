@@ -724,6 +724,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ratio: float | None = None,
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """SemDeDup candidate-pair scoring: exact-integer k-means fit →
     multi-probe blocking (:func:`kmeans_assign_topm`, m nearest
@@ -744,9 +745,29 @@ def semdedup_pairs(
     :func:`kmeans_assign_topm`): m becomes the cap, and only
     vectors near a Voronoi boundary fan out — the probe's adaptive
     arms measure the recall/candidate-mass trade per r.
+
+    ``fit_sample_mod`` fits the k-means on the deterministic
+    1-in-mod hash-sample ``xxhash64(id) % mod == 0`` (the ASSIGN
+    stays full-corpus — blocking quality depends on where the
+    centroids sit, not on which rows placed them). The r09 1M wall
+    was fit/assign-bound (446 of 759 s), so this is the at-scale
+    lever; SEMDEDUP_PROBE.json's round-10 ``sampled_fit`` arm
+    measures the fit-time/recall trade at 1M/k=100. Centroids are
+    still bit-deterministic (the sample is a pure id function; the
+    k lowest-id sampled vectors seed).
     """
+    fit_input = emb
+    if fit_sample_mod is not None and fit_sample_mod > 1:
+        fit_input = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod))
+            == 0
+        )
     _assigned, cents, _hist = kmeans_fit(
-        emb, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+        fit_input,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        iterations=iterations,
     )
     base = emb.select(
         F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")

@@ -2978,13 +2978,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true pairs that straddle a Voronoi boundary — measured
     recall 0.38 on the fixtures — while m=4 probes recover recall
     1.00 (the constant's docstring carries the measured curve).
-    At scale prefer ADAPTIVE probing (``semdedup_pairs(ratio=1.5)``,
-    round 9): probe centroid j only when d²_j ≤ r·d²_nearest —
-    recall stays 1.0 at 0.23–0.26× of the fixed-m=4 candidate mass
-    once k separates the space (k ∝ n; SEMDEDUP_PROBE.json 300k–1M
-    arms). Fixed-m stays the default HERE because at fixture
-    geometry (k=10, noise-dominant) the ratio rule cuts only 3–15%
-    — the probe's measured small-k degenerate case.
+    At scale prefer ADAPTIVE probing WITH A SAMPLED FIT
+    (``semdedup_pairs(ratio=1.5, m=4, fit_sample_mod=10)``, rounds
+    9–10): probe centroid j only when d²_j ≤ r·d²_nearest — recall
+    stays 1.0 at 0.23–0.26× of the fixed-m=4 candidate mass once k
+    separates the space (k ∝ n; SEMDEDUP_PROBE.json 300k–1M arms) —
+    and fit the k-means on the deterministic 1-in-10 hash-sample:
+    recall stays 1.0 at 1M/k=100 even at 1-in-100 while the fit
+    drops 152 → 33 → 21 s (SEMDEDUP_SAMPLEDFIT_PROBE.json); the
+    residual wall is the block scorer, not the fit. Fixed-m +
+    full fit stays the default HERE because at fixture geometry
+    (k=10, noise-dominant) the ratio rule cuts only 3–15% — the
+    probe's measured small-k degenerate case.
     Duplicate candidates from pairs sharing several blocks are
     folded by a distinct() on the (id_a, id_b, cos) rows — cosine
     is deterministic fixed-point, so the fold is exact. Validation:

@@ -649,6 +649,38 @@ def test_semdedup_chunk_split_equals_unchunked(spark, monkeypatch):
     assert base, "fixtures must plant semantic dups"
 
 
+def test_semdedup_sampled_fit_contract(spark):
+    """fit_sample_mod fits the k-means on the deterministic 1-in-mod
+    hash-sample while the assign/score stays full-corpus (round 10,
+    VERDICT r09 #6): every corpus vector must still land in a block
+    and precision stays exact by construction (pairs carry their
+    true cosine). Centroids move with the sample, so the pair SET
+    can differ from the full fit — the at-scale recall evidence is
+    SEMDEDUP_SAMPLEDFIT_PROBE.json; this pins the plumbing: sampled
+    input reaches only the fit, and mod=1/None is the identity."""
+    from database_join_spark.catalog import table
+    from database_join_spark.operators import similarity as S
+
+    emb = table(spark, SF_DIR, "embeddings")
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in S.semdedup_pairs(
+                emb, k=10, iterations=3, m=4, threshold=0.4, **kw
+            ).collect()
+        )
+
+    base = pairs()
+    assert pairs(fit_sample_mod=None) == base
+    assert pairs(fit_sample_mod=1) == base
+    sampled = pairs(fit_sample_mod=4)
+    assert sampled, "sampled fit must still emit the planted dups"
+    # precision-exactness is fit-independent: every emitted pair's
+    # cosine clears the threshold (carried value is the true cosine)
+    assert all(c >= 0.4 for _, _, c in sampled)
+
+
 def test_semdedup_gemm_int64_fallback_exact(spark):
     """The block scorer's float64 GEMM is bit-exact only while
     dim·max(|q|)² < 2^53; coordinates past unit scale must take the
