@@ -232,6 +232,62 @@ def test_agg_bucketed_exchange_free_registry_plan(spark):
     assert "graft_li_agg_bucketed" in plan, plan
 
 
+def test_agg_bucketed_exchange_free_write_once_reuse(spark):
+    """Round 10 (VERDICT r09 Wrong #2): the bucketed table is
+    write-once with fingerprint validation, not rebuilt per call. A
+    second call must (a) rewrite NO data files (same names, sizes,
+    ns-mtimes), (b) keep the exchange-free plan over the
+    re-registered catalog entry, (c) return the identical result;
+    and a marker mismatch (simulating a source rewrite) must force
+    a rebuild."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from database_join_spark.queries import load_all
+
+    fn = load_all()["agg_bucketed_exchange_free"].fn
+    first = {
+        (r["l_orderkey"], r["n_items"], r["sum_qty"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+    tag = hashlib.sha256(
+        os.path.abspath(SF_DIR).encode()
+    ).hexdigest()[:12]
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bucketed_agg_u{os.getuid()}",
+        tag,
+    )
+    def snapshot():
+        return {
+            f: (os.path.getsize(f), os.stat(f).st_mtime_ns)
+            for f in glob.glob(os.path.join(loc, "*.parquet"))
+        }
+
+    before = snapshot()
+    assert before, "first call must have built data files"
+    df2 = fn(spark, SF_DIR)
+    plan = P.plan_string(df2, mode="simple")
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    second = {
+        (r["l_orderkey"], r["n_items"], r["sum_qty"])
+        for r in df2.collect()
+    }
+    assert second == first
+    assert snapshot() == before, "reuse call rewrote data files"
+    # stale marker → rebuild (files change)
+    Path(loc, "_GRAFT_SRC_KEY").write_text("stale")
+    third = {
+        (r["l_orderkey"], r["n_items"], r["sum_qty"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+    assert third == first
+    assert snapshot() != before, "stale marker must force a rebuild"
+
+
 def test_aligned_partitioned_write_one_file_per_value(spark, tmp_path):
     """The partitionBy spelling of the alignment discipline
     (write_partitioned_aligned, r08): a naive partitionBy from a
