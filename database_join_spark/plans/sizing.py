@@ -481,6 +481,34 @@ def plan_for(
 
 
 @contextmanager
+def applied_skewjoin(spark: SparkSession, plan: SkewJoinPlan):
+    """Apply a :class:`SkewJoinPlan`'s per-query confs for the
+    duration of a block, restoring previous values after — the
+    action-side companion to :func:`decide_skewjoin` (a registry
+    query returns a lazy DataFrame and must not mutate its session;
+    a caller that owns the ACTION wraps it here instead, the same
+    contract as :func:`applied`). No-op for strategies that carry
+    no confs (broadcast / plain / salted — those change the PLAN,
+    not the session)::
+
+        plan = plan_skewjoin(fact, "k", dim)
+        with applied_skewjoin(spark, plan):
+            run(plan)  # build the join per plan.strategy + collect
+    """
+    prev = {k: spark.conf.get(k, None) for k in plan.confs}
+    for k, v in plan.confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield plan
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@contextmanager
 def applied(spark: SparkSession, sizing: AggSizing):
     """Apply the RUNTIME-settable part of a sizing decision (the fast
     map capacity) for the duration of a block, restoring the previous

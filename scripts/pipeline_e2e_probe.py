@@ -334,8 +334,6 @@ def main() -> None:
     }
     print(f"# decontam_ngram: {out['stages']['decontam_ngram']}",
           file=sys.stderr)
-    flagged.unpersist()
-    s4.unpersist()
 
     # ---- stage 6: sequence packing over the final survivors
     t0 = time.perf_counter()
@@ -379,6 +377,60 @@ def main() -> None:
 
     out["total_sec"] = round(time.perf_counter() - t_total, 2)
     out["docs_per_sec_end_to_end"] = round(n / out["total_sec"])
+
+    # ---- appendix (outside the composed total): the Bloom tier of
+    # the dominant stage — bitmap-prune the corpus shingle stream
+    # before the exact verify join, estimate-driven sizing
+    # (plans.sizing.decide_prefilter, the shipped decontam_bloom /
+    # join_bloom_prefilter decision layer). Must flag the IDENTICAL
+    # doc set.
+    from database_join_spark.operators import bloom as B
+    from database_join_spark.plans.sizing import decide_prefilter
+
+    bench_set = bench_sh.persist()
+    t0 = time.perf_counter()
+    est_bench = bench_set.count()  # exact: the set is benchmark-sized
+    est_corpus = corpus_sh.select(
+        F.approx_count_distinct("shingle").alias("n")
+    ).first()["n"]
+    sizing = decide_prefilter(est_bench, est_corpus)
+    decide_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    bitmap = B.bitmap_of(bench_set, "shingle", bits=sizing.bits)
+    pre = B.prefilter(corpus_sh, "shingle", bitmap, bits=sizing.bits)
+    flagged_bloom = (
+        pre.join(F.broadcast(bench_set), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .persist()
+    )
+    n_flagged_bloom = flagged_bloom.count()
+    sec5b = round(time.perf_counter() - t0, 2)
+    diff = flagged_bloom.join(flagged, "doc_id", "left_anti").count()
+    assert n_flagged_bloom == n_flagged and diff == 0, (
+        n_flagged_bloom, n_flagged, diff,
+    )
+    out["decontam_bloom_tier"] = {
+        "flagged": n_flagged_bloom,
+        "identical_to_exact": True,
+        "bits": sizing.bits,
+        "est_bench_shingles": est_bench,
+        "est_corpus_shingles": est_corpus,
+        "survivor_frac_predicted": round(sizing.survivor_frac, 6),
+        "apply_predicted": sizing.apply,
+        "decide_sec": decide_sec,
+        "flag_sec": sec5b,
+        # the exact arm's sec also includes the survivor anti-join +
+        # count; the flag computation dominates it
+        "exact_arm_sec": sec5,
+    }
+    print(f"# decontam_bloom_tier: {out['decontam_bloom_tier']}",
+          file=sys.stderr)
+    flagged_bloom.unpersist()
+    bench_set.unpersist()
+    flagged.unpersist()
+    s4.unpersist()
+
     out["host_end"] = host_snapshot()
     Path(_REPO, args.json).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: v for k, v in out.items() if k != "stages"}))

@@ -249,6 +249,24 @@ def test_plan_skewjoin_end_to_end(spark):
     assert plan_skewjoin(fact, "k", small_dim).strategy == "broadcast"
 
 
+def test_applied_skewjoin_sets_and_restores(spark):
+    """The action-side applier: aqe_split's confs hold inside the
+    block and restore after; conf-free strategies are a no-op."""
+    from database_join_spark.plans.sizing import (
+        applied_skewjoin,
+        decide_skewjoin,
+    )
+
+    factor = "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    before = spark.conf.get(factor)
+    plan = decide_skewjoin(0.25, 10_000_000, partitions=128)
+    with applied_skewjoin(spark, plan):
+        assert spark.conf.get(factor) == "2.0"
+    assert spark.conf.get(factor) == before
+    with applied_skewjoin(spark, decide_skewjoin(0.9, 1_000)):
+        assert spark.conf.get(factor) == before  # broadcast: no confs
+
+
 def test_join_skew_auto_plan_follows_estimate(spark):
     """The gated query's plan is the decision's output: at fixture
     scale the dim fits the broadcast budget, so the optimized plan
