@@ -62,6 +62,18 @@ def shingles_from_tokens(tok_col: str, n: int = 3) -> Column:
     ``element_at`` — 3 re-tokenizations per shingle, quadratic in doc
     length (measured 7× on the fixture corpus). Matches the DuckDB
     oracle construction exactly (same n-gram join, single spaces).
+
+    EXPLODE IN THE SAME SELECT (round 10): spell consumers
+    ``df.select(id, F.explode(shingles_from_tokens(...)))``, NEVER
+    ``df.select(id, expr.alias("sh")).select(id, F.explode("sh"))``.
+    The two-step form lets ``InferFiltersFromGenerate`` insert a
+    ``size(sh) > 0`` filter whose condition CollapseProject inlines
+    — with ``tok_col``'s defining expression re-substituted into
+    every ``element_at``, i.e. one full re-tokenization per n-gram
+    position per row. Measured 19× (66 vs 3.5 s for 18.8M shingles
+    at 200k docs); the one-step generate carries no inferred filter.
+    ``tests/test_pipeline.py::test_no_inferred_tokenizer_filter``
+    pins every shingle-exploding registry query.
     """
     return F.expr(
         f"IF(size({tok_col}) < {n}, array(), "
@@ -69,6 +81,31 @@ def shingles_from_tokens(tok_col: str, n: int = 3) -> Column:
         f"i -> concat_ws(' ', "
         + ", ".join(f"element_at({tok_col}, i + {k + 1})" for k in range(n))
         + "))))"
+    )
+
+
+def shingle_hashes_from_tokens(tok_col: str, n: int = 3) -> Column:
+    """Distinct ``xxhash64`` values of word n-grams, built JVM-side
+    WITHOUT materializing the n-gram strings (round 10).
+
+    ``xxhash64`` takes the n token columns directly, so no 30-odd
+    byte shingle string is ever allocated — the dominant cost of the
+    string spelling at volume (PIPELINE_E2E_PROBE: the decontam
+    stage is shingle-PRODUCTION-bound). Two DIFFERENT n-grams
+    hashing equal is possible (~n_grams²/2⁶⁴), so this is a
+    CANDIDATE generator: consumers that need exactness re-verify
+    hash-hits with the string spelling on the (tiny) candidate set —
+    the two-tier shape of ``decontam_hashed``. False negatives are
+    impossible: equal tokens hash equal. Same ``tok_col``-must-be-
+    materialized contract as :func:`shingles_from_tokens`.
+    """
+    parts = ", ".join(
+        f"element_at({tok_col}, i + {k + 1})" for k in range(n)
+    )
+    return F.expr(
+        f"IF(size({tok_col}) < {n}, array(), "
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> xxhash64({parts}))))"
     )
 
 
@@ -195,8 +232,12 @@ def banded_buckets(
         F.col(shingle_col) if prehashed else shingle_hashes(shingle_col)
     )
     sig = (
-        df.select(F.col(id_col).alias("__id"), hs.alias("__hs"))
-        .select("__id", F.explode("__hs").alias("__h"))
+        # one-step generate: exploding a named __hs column would pay
+        # the inferred-filter re-inlining trap (shingles_from_tokens
+        # docstring) — one full re-shingle per row in the filter
+        df.select(
+            F.col(id_col).alias("__id"), F.explode(hs).alias("__h")
+        )
         .groupBy("__id")
         .agg(
             *[

@@ -710,9 +710,14 @@ def kmeans_assign_topm(
     df = base.withColumn("dists", dists)
     if ratio is not None:
         df = df.withColumn("top_m", F.expr(top_m))
-    return df.withColumn("blocks", F.expr(blocks)).select(
-        "id", "qv", F.explode("blocks").alias("block")
-    )
+    # ONE-STEP generate (round 10): exploding a named "blocks"
+    # column lets InferFiltersFromGenerate insert a size>0 filter
+    # whose condition inlines the ENTIRE k-centroid distance
+    # computation (dists/top_m collapse into it) — the whole assign
+    # runs twice per vector. Exploding the expression directly
+    # infers no filter (see dedup.shingles_from_tokens docstring for
+    # the measured 19× worst case of this trap).
+    return df.select("id", "qv", F.explode(F.expr(blocks)).alias("block"))
 
 
 def semdedup_pairs(

@@ -312,8 +312,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) × 4 — payloads never move. No oracle (xxhash64); pinned by
     recall tests vs the exact baseline.
     """
+    # coalesce is identity here (the signature fold always yields a
+    # value, even for empty docs) but marks the column NON-NULLABLE,
+    # so the self-join's inferred isnotnull(cval) constraint folds
+    # away instead of re-inlining the whole signature fold as a
+    # per-row filter — a second signature pass (round 10; same
+    # constraint-inference trap as topic_kmeans's shell join)
     sig = _docs(spark, sf_dir).select(
-        "doc_id", D.simhash("text").alias("sig")
+        "doc_id",
+        F.coalesce(D.simhash("text"), F.lit(0).cast("long")).alias(
+            "sig"
+        ),
     )
     chunks = sig.select(
         "doc_id",
@@ -1386,21 +1395,136 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-wise comparison anywhere.
     """
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", T.tokens("text").alias("toks")
-    ).select(
-        "doc_id", D.shingles_from_tokens("toks", _DECON_N).alias("sh")
-    )
+    # one-step generate: explode the shingle expression in the SAME
+    # select (shingles_from_tokens docstring — the two-step
+    # alias-then-explode form re-inlines the tokenizer into an
+    # inferred pre-Generate filter, measured 19×)
+    toks = docs.select("doc_id", T.tokens("text").alias("toks"))
     ev = (
-        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(F.explode("sh").alias("shingle"))
+        toks.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(
+            F.explode(
+                D.shingles_from_tokens("toks", _DECON_N)
+            ).alias("shingle")
+        )
         .distinct()
     )
-    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    corpus = toks.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens("toks", _DECON_N)).alias(
+            "shingle"
+        ),
     )
     return (
         corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 38a. decontam_hashed — hashed-shingle two-tier decontamination
+# --------------------------------------------------------------------------
+@query(
+    "decontam_hashed",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {D.shingles_duck("text", _DECON_N)} AS sh
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(sh) AS shingle
+      FROM sh WHERE doc_id % {_DECON_MOD} <> 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM corpus JOIN ev USING (shingle)
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup", "scale"),
+)
+def decontam_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with HASHED shingles + exact verify (round
+    10): same contract and SAME oracle as ``decontam_ngram``, but
+    tier 1 never builds an n-gram string — ``xxhash64`` of the n
+    token columns directly (`shingle_hashes_from_tokens`), 8-byte
+    longs exploding instead of ~30-byte strings. Hash hits nominate
+    CANDIDATE docs (false negatives impossible; false positives ~
+    n_grams²/2⁶⁴ plus every true hit); tier 2 re-runs the exact
+    string spelling on the candidate docs only, so the result is
+    exact while the string construction cost scales with
+    CONTAMINATION mass, not corpus mass.
+
+    MEASURED OUTCOME (PIPELINE_E2E_PROBE, 1M docs): a negative for
+    raw speed. The stage's original 322 s turned out to be the
+    inferred-filter inlining trap (see shingles_from_tokens), not
+    string construction — with the trap fixed, hash production
+    costs the SAME as string production (isolated: 1.0 vs 3.2 s per
+    18.8M shingles without distinct, identical with), so the second
+    tier only adds work: 11.7 s vs 9.5 s exact / 7.0 s Bloom.
+    Kept for its real niche: decontamination against HASH-RELEASED
+    benchmarks (a held-out suite published only as n-gram hashes —
+    standard practice for proprietary eval sets). Tier 1 runs from
+    hashes alone; the plaintext verify tier here exists to keep the
+    driver-oracle exactness contract and is skippable in that
+    deployment (FP bound ≈ n_grams²/2⁶⁴).
+    """
+    docs = _docs(spark, sf_dir)
+    # every explode below is ONE-STEP (generate the expression in
+    # the same select — see shingles_from_tokens docstring for the
+    # 19× inferred-filter trap the two-step form pays)
+    toks = docs.select("doc_id", T.tokens("text").alias("toks"))
+    ev_h = (
+        toks.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(
+            F.explode(
+                D.shingle_hashes_from_tokens("toks", _DECON_N)
+            ).alias("h")
+        )
+        .distinct()
+    )
+    # tier-1 stream is (doc_id, hash) ONLY — carrying text through
+    # the explode would replicate each doc's full text once per
+    # n-gram (measured 1.7× slower than the exact arm before this
+    # split); candidates re-join the doc table AFTER the prune, a
+    # join bounded by contamination mass
+    cand_ids = (
+        toks.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .select(
+            "doc_id",
+            F.explode(
+                D.shingle_hashes_from_tokens("toks", _DECON_N)
+            ).alias("h"),
+        )
+        .join(F.broadcast(ev_h), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    # tier 2: exact string shingles, CANDIDATE docs vs the eval set
+    cand_sh = (
+        docs.join(cand_ids, "doc_id")
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                D.shingles_from_tokens("toks", _DECON_N)
+            ).alias("shingle"),
+        )
+    )
+    ev = (
+        toks.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(
+            F.explode(
+                D.shingles_from_tokens("toks", _DECON_N)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    return (
+        cand_sh.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -1489,22 +1613,28 @@ def _bloom_frames(spark: SparkSession, sf_dir: str):
     exact verify join runs on the raw stream, which is the same
     exact result at lower cost."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", T.tokens("text").alias("toks")
-    ).select(
-        "doc_id", D.shingles_from_tokens("toks", _DECON_N).alias("sh")
-    )
+    # one-step generate (see shingles_from_tokens docstring: the
+    # alias-then-explode form pays an inferred filter that re-runs
+    # the tokenizer per n-gram position, measured 19×)
+    toks = docs.select("doc_id", T.tokens("text").alias("toks"))
     ev = (
-        sh.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(F.explode("sh").alias("shingle"))
+        toks.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(
+            F.explode(
+                D.shingles_from_tokens("toks", _DECON_N)
+            ).alias("shingle")
+        )
         .distinct()
     )
     # bitmap build + probe via the shared operator (operators/bloom.py
     # — extracted from this query in round 6 so joins reuse it)
     from database_join_spark.operators import bloom as B
 
-    corpus = sh.filter(F.col("doc_id") % _DECON_MOD != 0).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    corpus = toks.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens("toks", _DECON_N)).alias(
+            "shingle"
+        ),
     )
     from database_join_spark.plans.sizing import plan_prefilter
 
@@ -2917,7 +3047,18 @@ def topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _cents, _hist = S.kmeans_fit(
         emb, k=_KMEANS_K, iterations=_KMEANS_ITERS
     )
-    sizes = assigned.groupBy("cluster").agg(
+    # coalesce marks the grouping key NON-NULLABLE (it never is null
+    # in fact), so the shell left-join's inferred isnotnull(cluster)
+    # constraint folds to true instead of materializing as a filter
+    # below the aggregate — that filter inlined the ENTIRE k-distance
+    # argmin per row, a second full assign pass (round 10, the
+    # constraint-inference cousin of the InferFiltersFromGenerate
+    # trap on dedup.shingles_from_tokens)
+    sizes = assigned.select(
+        F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+        "sqdist",
+        "id",
+    ).groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("sqdist").cast("decimal(38,0)")).alias("inertia_q14"),
         F.min("id").alias("rep_vec_id"),

@@ -296,20 +296,28 @@ def main() -> None:
 
     # ---- stage 5: n-gram decontamination against the benchmark
     # (benchmark side collapses to a broadcast distinct-shingle set)
+    # all explodes below are ONE-STEP (generate the expression in
+    # the same select): the alias-then-explode spelling pays the
+    # inferred-filter re-inlining trap — one tokenizer run per
+    # n-gram position per row, measured 19× (round 10;
+    # dedup.shingles_from_tokens docstring)
     bench_sh = (
         synth_benchmark(spark, n)
         .select(T.tokens("text").alias("toks"))
-        .select(D.shingles_from_tokens("toks", _DECON_N).alias("sh"))
-        .select(F.explode("sh").alias("shingle"))
+        .select(
+            F.explode(
+                D.shingles_from_tokens("toks", _DECON_N)
+            ).alias("shingle")
+        )
         .distinct()
     )
-    corpus_sh = (
-        s4.select("doc_id", T.tokens("text").alias("toks"))
-        .select(
-            "doc_id",
-            D.shingles_from_tokens("toks", _DECON_N).alias("sh"),
-        )
-        .select("doc_id", F.explode("sh").alias("shingle"))
+    corpus_sh = s4.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens("toks", _DECON_N)).alias(
+            "shingle"
+        ),
     )
     t0 = time.perf_counter()
     flagged = (
@@ -427,6 +435,77 @@ def main() -> None:
     print(f"# decontam_bloom_tier: {out['decontam_bloom_tier']}",
           file=sys.stderr)
     flagged_bloom.unpersist()
+
+    # ---- appendix 2: the HASHED-shingle two-tier spelling (round
+    # 10, the lever the Bloom negative named): tier 1 explodes
+    # xxhash64 longs built straight from the token columns — no
+    # n-gram string is ever allocated — and nominates candidate
+    # docs; tier 2 re-runs the exact string spelling on candidates
+    # only. Flag set must again be identical.
+    t0 = time.perf_counter()
+    # tokens must be a materialized column (operator contract);
+    # tier-1 stream is (doc_id, hash) only — no text, no alias step
+    hsh = s4.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            D.shingle_hashes_from_tokens("toks", _DECON_N)
+        ).alias("h"),
+    )
+    bench_h = (
+        synth_benchmark(spark, n)
+        .select(T.tokens("text").alias("toks"))
+        .select(
+            F.explode(
+                D.shingle_hashes_from_tokens("toks", _DECON_N)
+            ).alias("h")
+        )
+        .distinct()
+    )
+    cand_ids = (
+        hsh.join(F.broadcast(bench_h), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    # rejoin for text AFTER the prune: exploding (doc_id, hash)
+    # pairs keeps the 8-byte tier-1 stream 8 bytes — carrying the
+    # text column through the explode would replicate each doc's
+    # full text once per n-gram (measured 1.7x SLOWER than the
+    # exact arm at smoke scale before this split)
+    cand = s4.join(F.broadcast(cand_ids), "doc_id").select(
+        "doc_id", "text"
+    )
+    cand_sh = cand.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens("toks", _DECON_N)).alias(
+            "shingle"
+        ),
+    )
+    flagged_hashed = (
+        cand_sh.join(F.broadcast(bench_set), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .persist()
+    )
+    n_flagged_hashed = flagged_hashed.count()
+    sec5h = round(time.perf_counter() - t0, 2)
+    diff_h = flagged_hashed.join(flagged, "doc_id", "left_anti").count()
+    assert n_flagged_hashed == n_flagged and diff_h == 0, (
+        n_flagged_hashed, n_flagged, diff_h,
+    )
+    out["decontam_hashed_tier"] = {
+        "flagged": n_flagged_hashed,
+        "identical_to_exact": True,
+        "flag_sec": sec5h,
+        "exact_arm_sec": sec5,
+        "bloom_arm_sec": sec5b,
+    }
+    print(f"# decontam_hashed_tier: {out['decontam_hashed_tier']}",
+          file=sys.stderr)
+    flagged_hashed.unpersist()
     bench_set.unpersist()
     flagged.unpersist()
     s4.unpersist()

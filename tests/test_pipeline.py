@@ -649,6 +649,44 @@ def test_semdedup_chunk_split_equals_unchunked(spark, monkeypatch):
     assert base, "fixtures must plant semantic dups"
 
 
+def test_no_inferred_expensive_filters(spark):
+    """Round-10 regression pin for two Catalyst inlining traps:
+    (1) InferFiltersFromGenerate + CollapseProject turn a two-step
+    alias-then-explode into a size>0 filter that re-inlines the
+    array's defining expression — with the tokenizer re-substituted
+    into every element_at, measured 19× on shingle streams
+    (dedup.shingles_from_tokens docstring); (2) join-constraint
+    isnotnull inference inlines a computed join key's whole
+    expression as a per-row filter (a second k-means assign in
+    topic_kmeans, a second signature fold in dedup_simhash).
+    Every query in the affected families must carry NO filter whose
+    condition embeds a heavy expression; the ≤200-char allowance
+    covers legitimate single-tokenize gates (length filters)."""
+    from database_join_spark.queries import load_all
+
+    reg = load_all()
+    for qid in (
+        "decontam_ngram", "decontam_bloom", "decontam_hashed",
+        "decontam_minhash", "dedup_minhash", "dedup_simhash",
+        "dedup_semantic", "topic_kmeans", "text_winnow",
+    ):
+        plan = (
+            reg[qid].fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            s = line.strip()
+            if not (s.startswith("+- Filter") or s.startswith("Filter")):
+                continue
+            if ("split(" in s or "transform(" in s) and len(s) > 200:
+                raise AssertionError(
+                    f"{qid}: inferred filter re-inlines a heavy "
+                    f"expression ({len(s)} chars): {s[:300]}"
+                )
+
+
 def test_semdedup_sampled_fit_contract(spark):
     """fit_sample_mod fits the k-means on the deterministic 1-in-mod
     hash-sample while the assign/score stays full-corpus (round 10,
