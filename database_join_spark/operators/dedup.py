@@ -154,6 +154,33 @@ def ngrams_from_tokens(tok_col: str, n: int) -> Column:
     )
 
 
+def ngram_hashes_from_tokens(tok_col: str, n: int) -> Column:
+    """ORDERED, NON-distinct ``xxhash64`` n-gram keys — the hashed
+    sibling of :func:`ngrams_from_tokens` (round 10). Element ``i``
+    is the hash of the n-gram starting at token position ``i``, so
+    ``posexplode`` recovers (position, key) pairs; the hash takes
+    the n token columns directly, never materializing the n-gram
+    string.
+
+    Why: the ExactSubstr window pass shuffles its keys twice (the
+    duplicate-window groupBy and the hit semi-join) — an 8-token
+    window string is ~50 bytes where the hash is 8, so the hashed
+    key cuts that shuffle mass ~6× (measured in
+    SUBSTR_HASHKEY_PROBE.json). Two DIFFERENT windows colliding
+    (~windows²/2⁶⁴) would excise a span that is not truly
+    duplicated — consumers needing letter-exact guarantees keep the
+    string key (the default everywhere).
+    """
+    parts = ", ".join(
+        f"element_at({tok_col}, i + {k + 1})" for k in range(n)
+    )
+    return F.expr(
+        f"IF(size({tok_col}) < {n}, array(), "
+        f"transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> xxhash64({parts})))"
+    )
+
+
 def ngrams_duck(col: str = "text", n: int = 3) -> str:
     """DuckDB spelling of :func:`ngrams_from_tokens` (ordered,
     non-distinct; list index i yields the n-gram at 0-based token

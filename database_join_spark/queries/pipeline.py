@@ -1458,17 +1458,18 @@ def decontam_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact while the string construction cost scales with
     CONTAMINATION mass, not corpus mass.
 
-    MEASURED OUTCOME (PIPELINE_E2E_PROBE, 1M docs): a negative for
-    raw speed. The stage's original 322 s turned out to be the
-    inferred-filter inlining trap (see shingles_from_tokens), not
-    string construction — with the trap fixed, hash production
-    costs the SAME as string production (isolated: 1.0 vs 3.2 s per
-    18.8M shingles without distinct, identical with), so the second
-    tier only adds work: 11.7 s vs 9.5 s exact / 7.0 s Bloom.
-    Kept for its real niche: decontamination against HASH-RELEASED
-    benchmarks (a held-out suite published only as n-gram hashes —
-    standard practice for proprietary eval sets). Tier 1 runs from
-    hashes alone; the plaintext verify tier here exists to keep the
+    MEASURED OUTCOME (PIPELINE_E2E_PROBE, 1M docs, two captures):
+    no decisive raw-speed win. The stage's original 322 s turned out
+    to be the inferred-filter inlining trap (see
+    shingles_from_tokens), not string construction — with the trap
+    fixed, hash production costs the SAME as string production
+    (isolated: within noise per 18.8M shingles), and the tiers land
+    in one band: exact 9.5/14.6 s, Bloom 7.0/8.0, this two-tier
+    11.7/7.0 across the two captures. The load-bearing claim is the
+    NICHE: decontamination against HASH-RELEASED benchmarks (a
+    held-out suite published only as n-gram hashes — standard
+    practice for proprietary eval sets). Tier 1 runs from hashes
+    alone; the plaintext verify tier here exists to keep the
     driver-oracle exactness contract and is skippable in that
     deployment (FP bound ≈ n_grams²/2⁶⁴).
     """
@@ -2550,18 +2551,36 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_frame(_docs(spark, sf_dir))
 
 
-def substring_spans_frame(docs: DataFrame) -> DataFrame:
+def substring_spans_frame(
+    docs: DataFrame, hash_keys: bool = False
+) -> DataFrame:
     """Merged cross-document duplicate spans over a ``(doc_id, text)``
     frame — the core of :func:`dedup_substring`, factored out so the
     excision step and the planted-fixture round-trip test can run the
-    identical logic on arbitrary corpora."""
+    identical logic on arbitrary corpora.
+
+    ``hash_keys=True`` keys the duplicate-window groupBy and the hit
+    semi-join by ``xxhash64`` of the window's tokens instead of the
+    window STRING (operators/dedup.ngram_hashes_from_tokens): the
+    window key crosses the wire twice, and 8 bytes vs ~50 cuts that
+    shuffle mass ~6× (SUBSTR_HASHKEY_PROBE.json: identical spans at
+    1M docs, walls recorded). The trade is letter-exactness: two
+    different windows colliding (~windows²/2⁶⁴) would excise a
+    non-duplicated span, so the string key stays the default and
+    the oracle-gated queries keep it; ``hash_keys`` is the
+    documented at-scale spelling when the corpus makes the window
+    shuffle the bottleneck.
+    """
+    key = (
+        D.ngram_hashes_from_tokens("toks", _SUBSTR_K)
+        if hash_keys
+        else D.ngrams_from_tokens("toks", _SUBSTR_K)
+    )
     wins = (
         docs.select("doc_id", T.tokens("text").alias("toks"))
         .select(
             "doc_id",
-            F.posexplode(
-                D.ngrams_from_tokens("toks", _SUBSTR_K)
-            ).alias("pos", "win"),
+            F.posexplode(key).alias("pos", "win"),
         )
     )
     dup = (
@@ -2686,12 +2705,16 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_excise_frame(docs)
 
 
-def substring_excise_frame(docs: DataFrame) -> DataFrame:
+def substring_excise_frame(
+    docs: DataFrame, hash_keys: bool = False
+) -> DataFrame:
     """Core excision over a ``(doc_id, text)`` frame (shared with the
-    planted-fixture round-trip test)."""
+    planted-fixture round-trip test). ``hash_keys`` passes through
+    to :func:`substring_spans_frame` (the at-scale window-key
+    spelling; string keys remain the default)."""
     toks = docs.select("doc_id", T.tokens("text").alias("toks"))
     spans = (
-        substring_spans_frame(docs)
+        substring_spans_frame(docs, hash_keys=hash_keys)
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")

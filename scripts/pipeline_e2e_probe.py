@@ -265,7 +265,11 @@ def main() -> None:
     # ---- stage 4: ExactSubstr span excision (both pair members
     # lose the 12-token run; doc count unchanged)
     t0 = time.perf_counter()
-    s4 = substring_excise_frame(s3).select(
+    # hash_keys: the documented at-scale window-key spelling
+    # (SUBSTR_HASHKEY_PROBE: 2.0×/1.6× at 1M docs, identical spans);
+    # the exact planted-mass asserts below double as the collision
+    # check
+    s4 = substring_excise_frame(s3, hash_keys=True).select(
         "doc_id",
         (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_tokens"),
         F.col("n_tokens_removed"),

@@ -418,6 +418,23 @@ def test_substring_excision_round_trip(spark):
     for tok in shared.split():
         assert tok not in rows[1].clean_text.split()
         assert tok not in rows[2].clean_text.split()
+    # round 10: the hashed window-key spelling (at-scale shuffle
+    # saver, SUBSTR_HASHKEY_PROBE) must find the identical spans and
+    # excise identically on the same corpus
+    spans_h = substring_spans_frame(docs, hash_keys=True).collect()
+    assert {
+        (r.doc_id, r.span_start, r.span_end) for r in spans_h
+    } == {(r.doc_id, r.span_start, r.span_end) for r in spans}
+    rows_h = {
+        r.doc_id: r
+        for r in substring_excise_frame(docs, hash_keys=True).collect()
+    }
+    assert {
+        (d, r.n_tokens_removed, r.clean_text)
+        for d, r in rows_h.items()
+    } == {
+        (d, r.n_tokens_removed, r.clean_text) for d, r in rows.items()
+    }
     assert rows[1].clean_text.startswith("alpha beta")
     assert rows[1].clean_text.endswith("gamma delta epsilon zeta")
     re_docs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
