@@ -714,9 +714,10 @@ def kmeans_assign_topm(
     # column lets InferFiltersFromGenerate insert a size>0 filter
     # whose condition inlines the ENTIRE k-centroid distance
     # computation (dists/top_m collapse into it) — the whole assign
-    # runs twice per vector. Exploding the expression directly
-    # infers no filter (see dedup.shingles_from_tokens docstring for
-    # the measured 19× worst case of this trap).
+    # runs twice per vector; measured 2.4× (9.5 → 4.0 s at 300k
+    # vectors / k=30, identical output). Exploding the expression
+    # directly infers no filter (see dedup.shingles_from_tokens
+    # docstring for the measured 19× worst case of this trap).
     return df.select("id", "qv", F.explode(F.expr(blocks)).alias("block"))
 
 
