@@ -760,7 +760,9 @@ def semdedup_pairs(
     lever; SEMDEDUP_PROBE.json's round-10 ``sampled_fit`` arm
     measures the fit-time/recall trade at 1M/k=100. Centroids are
     still bit-deterministic (the sample is a pure id function; the
-    k lowest-id sampled vectors seed).
+    k lowest-id sampled vectors seed). If the sample holds fewer
+    than k rows (corpus smaller than ~mod·k), the fit silently-wrong
+    failure mode is closed by falling back to the full-corpus fit.
     """
     fit_input = emb
     if fit_sample_mod is not None and fit_sample_mod > 1:
@@ -768,6 +770,13 @@ def semdedup_pairs(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod))
             == 0
         )
+        # A corpus smaller than ~mod·k can leave the hash sample with
+        # fewer than k rows; kmeans_fit would then clamp k toward the
+        # sample size and the assign would block against a degenerate
+        # centroid set — silently wrong pairs instead of an error
+        # (ADVICE r10). limit(k) bounds the check to k rows scanned.
+        if fit_input.limit(k).count() < k:
+            fit_input = emb
     _assigned, cents, _hist = kmeans_fit(
         fit_input,
         id_col=id_col,

@@ -371,7 +371,32 @@ class SkewJoinPlan:
 #: Broadcast budget: the session's autoBroadcastJoinThreshold
 #: (session.py sets 64 MB — generous local[32] headroom; at 1000
 #: executors a 64 MB relation is still a cheap torrent broadcast).
+#: This constant is the PURE-decision default only; the live path
+#: (:func:`plan_skewjoin`) reads the session's actual conf so the
+#: prediction can never diverge from what auto-broadcast does
+#: (ADVICE r10), and tests/test_sizing pins this default to
+#: session.py's configured value.
 BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _parse_spark_bytes(value: str | None) -> int | None:
+    """Parse a Spark byte-size conf string (plain int = bytes, or
+    ``k``/``m``/``g``/``t`` suffix, optionally with ``b``). Returns
+    None on anything unparsable; negative (auto-broadcast disabled)
+    maps to 0 so the decision never predicts a broadcast that the
+    session would refuse."""
+    if value is None:
+        return None
+    s = value.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40)):
+        if s.endswith(suffix):
+            s, mult = s[: -1], m
+            break
+    try:
+        return max(int(s) * mult, 0)
+    except ValueError:
+        return None
 #: Assumed in-memory bytes per dim row when the caller has only a
 #: row count (narrow key+payload dim; a wide dim should pass real
 #: bytes from table stats). 32 B/row puts the 64 MB budget at 2e6
@@ -390,6 +415,7 @@ def decide_skewjoin(
     partitions: int = DEFAULT_PARTITIONS,
     dim_bytes: int | None = None,
     can_set_confs: bool = True,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> SkewJoinPlan:
     """Pure decision step for a fact⋈dim equi-join under possible
     fact-side key skew — the join-side twin of :func:`decide`
@@ -419,7 +445,7 @@ def decide_skewjoin(
     """
     est_dim = max(int(dim_rows), 1)
     est_bytes = dim_bytes if dim_bytes is not None else est_dim * DIM_ROW_BYTES
-    if est_bytes <= BROADCAST_MAX_BYTES:
+    if est_bytes <= broadcast_max_bytes:
         return SkewJoinPlan(est_dim, top_share, "broadcast", {})
     skewed = (
         top_share is not None
@@ -452,12 +478,27 @@ def plan_skewjoin(
     column-pruned count on the dim (dims are the small side by
     contract) and one sampled row-frequency pass on the fact key
     (:func:`estimate_top_share`; frequency shares extrapolate from
-    row samples, distinct counts don't)."""
+    row samples, distinct counts don't).
+
+    The broadcast budget comes from the session's LIVE
+    ``autoBroadcastJoinThreshold`` (ADVICE r10): a caller relying on
+    auto-broadcast gets exactly what the decision predicted even if
+    the session conf differs from session.py's 64 MB default (a
+    disabled threshold, -1, maps to budget 0 — never predict a
+    broadcast the session would refuse)."""
+    conf_budget = _parse_spark_bytes(
+        fact.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", None
+        )
+    )
     return decide_skewjoin(
         estimate_top_share(fact, [key]),
         dim.count(),
         partitions=partitions,
         can_set_confs=can_set_confs,
+        broadcast_max_bytes=(
+            conf_budget if conf_budget is not None else BROADCAST_MAX_BYTES
+        ),
     )
 
 

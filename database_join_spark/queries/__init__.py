@@ -45,16 +45,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: membership in this set. History per id stays in STATUS.md
 #: (generated from the committed CORRECTNESS artifacts).
 #:
-#: Round-10 rotation (VERDICT r09 #3, rotation 8): retire the r07
-#: tail — all 45 ids whose newest driver row is r07 (the whole
-#: r04/r07 alternating block, computed by set arithmetic over the 9
-#: committed CORRECTNESS artifacts) — plus the NEW ``join_skew_auto``
-#: (first driver row for the skew-join decision ladder, VERDICT r09
-#: #1) and the 4-id flagship block. 45 + 1 + 4 = exactly the 50-row
-#: cap. Everything rotated out holds a fresh r09 row and remains
-#: pytest-hash-compared every run (tests/test_oracle_parity.py).
-#: After this round no registry id's newest driver row is older
-#: than r08.
+#: Round-11 rotation (VERDICT r10 #3/#7, rotation 9): retire the r08
+#: tail — all 21 ids whose newest driver row is r08 (computed by set
+#: arithmetic over the 10 committed CORRECTNESS artifacts) — plus the
+#: two first-row entrants (``decontam_hashed``, the ONLY id that
+#: never earned a driver row, VERDICT r10 what's-wrong #1; and the
+#: newly promoted ``dedup_substring_hashed``, VERDICT r10 #7), the
+#: 4-id flagship block, and — with 23 slots still free under the cap
+#: — the first 23 of the 46-id r09 tail in sorted order, so rotation
+#: 10 inherits a 23-id tail instead of 46. 21 + 2 + 4 + 23 = exactly
+#: the 50-row cap. Everything rotated out holds a fresh r09/r10 row
+#: and remains pytest-hash-compared every run
+#: (tests/test_oracle_parity.py). After this round no registry id's
+#: newest driver row is older than r09 and no id has zero history.
 #:
 #: Rotation history: r06 gave first rows to the r06-born ids except
 #: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
@@ -63,27 +66,33 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: no id older than r06. Rotation 7 (r09, VERDICT r08 #3-#4) took
 #: the r06 tail (16 TPC-H ids + ``multimodal_features``) plus the
 #: three round-9-born ids — after r09 no id older than r07.
-#: Rotation 8 is this one.
+#: Rotation 8 (r10) retired the 45-id r07 tail + ``join_skew_auto``'s
+#: first row — after r10 no id older than r08, but ``decontam_hashed``
+#: (born r10, after the table froze) shipped ungated. Rotation 9 is
+#: this one.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- newest row r07: the complete staleness tail (45 ids)
-    "agg_argmax", "agg_avg_int_ext", "agg_quantile_exact",
-    "agg_repartition_first", "anomaly_zscore", "bpe_pair_counts",
-    "chunk_documents", "corpus_clean", "corpus_mix",
-    "decontam_bloom", "decontam_ngram", "dedup_clusters",
-    "dedup_first_event", "dedup_incremental", "dedup_semantic",
-    "dedup_substring", "dedup_substring_apply",
-    "distinct_hll_sketch", "embed_quantize", "event_funnel",
-    "heavy_hitters_approx", "join_asof", "join_asof_bucketed",
-    "join_bloom_prefilter", "join_range_binned", "join_salted",
-    "ngram_counts", "pack_sequences", "pii_scrub",
-    "quality_gopher_rules", "quality_lm_surprisal",
-    "quality_repetition", "retention_cohorts", "sample_hash_split",
-    "sample_stratified", "sample_weighted", "seq_len_hist",
-    "sessionize_events", "stream_sliding", "text_vocab",
-    "tfidf_terms", "topic_kmeans", "udf_grouped",
-    "udf_grouped_agg", "variant_json",
-    # -- first driver row: the skew-join decision ladder (r10)
-    "join_skew_auto",
+    # -- newest row r08: the complete staleness tail (21 ids)
+    "agg_distinct", "agg_grouping_sets", "agg_partial_cache",
+    "agg_quantile_approx", "agg_salted", "approx_distinct_fm",
+    "array_map_json", "datagen_synthetic", "decontam_minhash",
+    "dedup_embed_cosine", "dedup_exact_survivors",
+    "dedup_ngram_jaccard", "dedup_simhash", "filter_semijoin_sel",
+    "higher_order_funcs", "join_broadcast", "join_hash_multi",
+    "join_hash_single", "join_nlj_multi", "join_nlj_single",
+    "pivot_wide",
+    # -- first driver rows: the r10-born hashed decontam tier and the
+    #    r11-promoted hashed ExactSubstr spelling
+    "decontam_hashed", "dedup_substring_hashed",
+    # -- r09-tail refresh: first 23 of the 46 r09 ids in sorted order
+    #    (rotation 10 takes the remaining 23: text_quality…window_*)
+    "agg_bucketed_exchange_free", "dedup_minhash", "join_outer",
+    "join_range", "join_semi_anti", "join_sortmerge",
+    "multimodal_features", "project_expr", "scalar_funcs",
+    "scan_columnar", "set_ops", "simsearch_embed", "simsearch_ivf",
+    "simsearch_ivf_stored", "simsearch_lsh", "simsearch_lsh_stored",
+    "sort_limit", "source_synthdocs", "stream_interval_join",
+    "stream_session", "stream_tumbling", "text_analysis",
+    "text_langid",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
     #    is re-proven under the driver every round)
     "agg_scalar_avg",

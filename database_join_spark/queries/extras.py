@@ -328,14 +328,22 @@ def agg_bucketed_exchange_free(
     ).hexdigest()
     marker = Path(loc, "_GRAFT_SRC_KEY")
     spark.sql("DROP TABLE IF EXISTS graft_li_agg_bucketed")
-    if marker.exists() and marker.read_text() == src_key:
+    # The marker alone isn't proof the DATA survived: rmtree with
+    # ignore_errors=True can leave a marker beside zero parquet
+    # files, and re-registering over an empty dir silently returns
+    # empty results (ADVICE r10). Require at least one data file.
+    has_data = marker.exists() and any(Path(loc).glob("*.parquet"))
+    if has_data and marker.read_text() == src_key:
         # fresh files: re-register the external bucketed table over
         # them (underscore-prefixed marker is invisible to the
-        # reader; bucket ids come from the file names)
+        # reader; bucket ids come from the file names). SORTED BY
+        # matches write_bucketed_aligned's default sortBy so the
+        # build and reuse catalog entries carry identical metadata.
         spark.sql(
             "CREATE TABLE graft_li_agg_bucketed "
             "(l_orderkey BIGINT, q BIGINT) USING parquet "
-            "CLUSTERED BY (l_orderkey) INTO 8 BUCKETS "
+            "CLUSTERED BY (l_orderkey) "
+            "SORTED BY (l_orderkey) INTO 8 BUCKETS "
             f"LOCATION '{loc}'"
         )
     else:

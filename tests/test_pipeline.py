@@ -734,6 +734,11 @@ def test_semdedup_sampled_fit_contract(spark):
     # precision-exactness is fit-independent: every emitted pair's
     # cosine clears the threshold (carried value is the true cosine)
     assert all(c >= 0.4 for _, _, c in sampled)
+    # degenerate-sample guard (ADVICE r10): a mod so large the
+    # 1-in-mod sample holds fewer than k vectors must fall back to
+    # the full-corpus fit — identical pairs, never a silent
+    # zero/low-centroid blocking pass
+    assert pairs(fit_sample_mod=10**9) == base
 
 
 def test_semdedup_gemm_int64_fallback_exact(spark):

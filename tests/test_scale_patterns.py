@@ -286,6 +286,19 @@ def test_agg_bucketed_exchange_free_write_once_reuse(spark):
     }
     assert third == first
     assert snapshot() != before, "stale marker must force a rebuild"
+    # torn state (ADVICE r10): a VALID marker beside zero data files
+    # (partially-failed rmtree left only the marker) must rebuild,
+    # not re-register an empty table and return empty results
+    marker_txt = Path(loc, "_GRAFT_SRC_KEY").read_text()
+    for f in glob.glob(os.path.join(loc, "*.parquet")):
+        os.remove(f)
+    Path(loc, "_GRAFT_SRC_KEY").write_text(marker_txt)
+    fourth = {
+        (r["l_orderkey"], r["n_items"], r["sum_qty"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+    assert fourth == first, "valid marker over missing data files"
+    assert snapshot(), "rebuild must restore the data files"
 
 
 def test_aligned_partitioned_write_one_file_per_value(spark, tmp_path):

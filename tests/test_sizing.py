@@ -339,3 +339,46 @@ def test_join_bloom_prefilter_plan_follows_estimate(spark):
         .toString()
     )
     assert "xxhash64" in plan and "bit_or" in plan
+
+
+def test_broadcast_budget_pinned_to_session_and_live_conf(spark):
+    """ADVICE r10: BROADCAST_MAX_BYTES is a hand copy of session.py's
+    autoBroadcastJoinThreshold — pin the two together so the pure
+    decision default can never silently diverge from what a caller
+    relying on auto-broadcast gets, and verify plan_skewjoin reads
+    the LIVE conf (a lowered threshold flips the same dim from
+    broadcast to plain within one session)."""
+    from database_join_spark.plans.sizing import (
+        BROADCAST_MAX_BYTES,
+        _parse_spark_bytes,
+        plan_skewjoin,
+    )
+
+    assert (
+        _parse_spark_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        == BROADCAST_MAX_BYTES
+    )
+    # parser contract: Spark spellings → bytes; disabled → 0
+    assert _parse_spark_bytes("67108864") == 64 << 20
+    assert _parse_spark_bytes("64m") == 64 << 20
+    assert _parse_spark_bytes("64MB") == 64 << 20
+    assert _parse_spark_bytes("1g") == 1 << 30
+    assert _parse_spark_bytes("10k") == 10 << 10
+    assert _parse_spark_bytes("-1") == 0
+    assert _parse_spark_bytes(None) is None
+    assert _parse_spark_bytes("nonsense") is None
+
+    fact = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 1_000).select(F.col("id").alias("k"))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        assert plan_skewjoin(fact, "k", dim).strategy == "broadcast"
+        spark.conf.set(key, "-1")  # auto-broadcast disabled
+        # (tiny-sample top-share noise may pick plain OR aqe_split;
+        # the contract under test is only that broadcast is refused)
+        assert plan_skewjoin(fact, "k", dim).strategy != "broadcast"
+    finally:
+        spark.conf.set(key, old)
