@@ -2586,37 +2586,25 @@ def dedup_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_frame(_docs(spark, sf_dir), hash_keys=True)
 
 
-def substring_spans_frame(
-    docs: DataFrame, hash_keys: bool = False
+def substring_spans_from_tokens(
+    toks_df: DataFrame, hash_keys: bool = False
 ) -> DataFrame:
-    """Merged cross-document duplicate spans over a ``(doc_id, text)``
-    frame — the core of :func:`dedup_substring`, factored out so the
-    excision step and the planted-fixture round-trip test can run the
-    identical logic on arbitrary corpora.
-
-    ``hash_keys=True`` keys the duplicate-window groupBy and the hit
-    semi-join by ``xxhash64`` of the window's tokens instead of the
-    window STRING (operators/dedup.ngram_hashes_from_tokens): the
-    window key crosses the wire twice, and 8 bytes vs ~50 cuts that
-    shuffle mass ~6× (SUBSTR_HASHKEY_PROBE.json: identical spans at
-    1M docs, walls recorded). The trade is letter-exactness: two
-    different windows colliding (~windows²/2⁶⁴) would excise a
-    non-duplicated span, so the string key stays the default and
-    the oracle-gated queries keep it; ``hash_keys`` is the
-    documented at-scale spelling when the corpus makes the window
-    shuffle the bottleneck.
-    """
+    """Merged cross-document duplicate spans over a pre-tokenized
+    ``(doc_id, toks)`` frame — the tokenize-once spelling of
+    :func:`substring_spans_frame` (round 11, VERDICT r10 #1): a
+    composed pipeline that already carries the token array pays the
+    tokenizer ONCE at ingest instead of once per stage. Same plan
+    from the window explode on: one groupBy on the window key
+    (string, or xxhash64 under ``hash_keys``), hit semi-join back,
+    gaps-and-islands merge on the per-doc exchange."""
     key = (
         D.ngram_hashes_from_tokens("toks", _SUBSTR_K)
         if hash_keys
         else D.ngrams_from_tokens("toks", _SUBSTR_K)
     )
-    wins = (
-        docs.select("doc_id", T.tokens("text").alias("toks"))
-        .select(
-            "doc_id",
-            F.posexplode(key).alias("pos", "win"),
-        )
+    wins = toks_df.select(
+        "doc_id",
+        F.posexplode(key).alias("pos", "win"),
     )
     dup = (
         wins.groupBy("win")
@@ -2644,6 +2632,32 @@ def substring_spans_frame(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def substring_spans_frame(
+    docs: DataFrame, hash_keys: bool = False
+) -> DataFrame:
+    """Merged cross-document duplicate spans over a ``(doc_id, text)``
+    frame — the core of :func:`dedup_substring`, factored out so the
+    excision step and the planted-fixture round-trip test can run the
+    identical logic on arbitrary corpora.
+
+    ``hash_keys=True`` keys the duplicate-window groupBy and the hit
+    semi-join by ``xxhash64`` of the window's tokens instead of the
+    window STRING (operators/dedup.ngram_hashes_from_tokens): the
+    window key crosses the wire twice, and 8 bytes vs ~50 cuts that
+    shuffle mass ~6× (SUBSTR_HASHKEY_PROBE.json: identical spans at
+    1M docs, walls recorded). The trade is letter-exactness: two
+    different windows colliding (~windows²/2⁶⁴) would excise a
+    non-duplicated span, so the string key stays the default and
+    the oracle-gated queries keep it; ``hash_keys`` is the
+    documented at-scale spelling when the corpus makes the window
+    shuffle the bottleneck.
+    """
+    return substring_spans_from_tokens(
+        docs.select("doc_id", T.tokens("text").alias("toks")),
+        hash_keys=hash_keys,
     )
 
 
@@ -2748,14 +2762,33 @@ def substring_excise_frame(
     to :func:`substring_spans_frame` (the at-scale window-key
     spelling; string keys remain the default)."""
     toks = docs.select("doc_id", T.tokens("text").alias("toks"))
+    return substring_excise_from_tokens(toks, hash_keys=hash_keys).select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        F.array_join("toks_clean", " ").alias("clean_text"),
+    )
+
+
+def substring_excise_from_tokens(
+    toks_df: DataFrame, hash_keys: bool = False
+) -> DataFrame:
+    """Excision over a pre-tokenized ``(doc_id, toks)`` frame — the
+    tokenize-once spelling (round 11, VERDICT r10 #1). Returns
+    ``(doc_id, n_tokens, n_tokens_removed, toks_clean)`` with the
+    cleaned TOKEN ARRAY, so a composed pipeline never has to
+    re-tokenize downstream: excision touches only the docs with
+    spans (the left join's null branch passes ``toks`` through
+    untouched), and every later stage consumes ``toks_clean``
+    directly."""
     spans = (
-        substring_spans_frame(docs, hash_keys=hash_keys)
+        substring_spans_from_tokens(toks_df, hash_keys=hash_keys)
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")
         )
     )
-    joined = toks.join(spans, "doc_id", "left")
+    joined = toks_df.join(spans, "doc_id", "left")
     kept = F.filter(
         "toks",
         lambda tok, i: ~F.exists(
@@ -2770,7 +2803,7 @@ def substring_excise_frame(
         (F.size("toks") - F.size(clean)).cast("bigint").alias(
             "n_tokens_removed"
         ),
-        F.array_join(clean, " ").alias("clean_text"),
+        clean.alias("toks_clean"),
     )
 
 

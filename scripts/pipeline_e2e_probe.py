@@ -127,6 +127,251 @@ def synth_benchmark(spark, n: int):
     )
 
 
+def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
+    """The tokenize-once re-composition (round 11, VERDICT r10 #1):
+    stage 1 materializes the token ARRAY as a column; every later
+    stage (fingerprint, shingles, ExactSubstr windows, decontam
+    n-grams, packing lengths) consumes it directly — the tokenizer
+    runs once per surviving doc instead of once per stage. Excision
+    rewrites only the token arrays of the docs it touches (the span
+    join's null branch passes ``toks`` through). Stage masses are
+    asserted EXACT against the same planted arithmetic as the
+    re-tokenize arm."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.operators import dedup as D
+    from database_join_spark.operators import text as T
+    from database_join_spark.queries.pipeline import (
+        JACCARD_THRESHOLD,
+        SHINGLE_N,
+        _DECON_N,
+        _PACK_BUDGET,
+        pack_sequences_frame,
+        substring_excise_from_tokens,
+    )
+
+    stages: dict = {}
+    t_total = time.perf_counter()
+
+    def stage(name: str, df, expected_rows: int | None = None):
+        t0 = time.perf_counter()
+        df = df.persist()
+        rows = df.count()
+        sec = round(time.perf_counter() - t0, 2)
+        rec = {"rows": rows, "sec": sec}
+        if expected_rows is not None:
+            assert rows == expected_rows, (name, rows, expected_rows)
+            rec["expected_rows"] = expected_rows
+            rec["exact_match"] = True
+        stages[name] = rec
+        print(f"# shared/{name}: {rec}", file=sys.stderr)
+        return df
+
+    corpus = synth_corpus(spark, n)
+
+    # ---- stage 1: tokenize ONCE + quality gate. n_tokens and the
+    # fingerprint both derive from the same tokens(text) expression
+    # inside one projection (physical-level subexpression
+    # elimination shares it); from here on no stage touches text.
+    toks = corpus.select(
+        "doc_id",
+        T.tokens("text").alias("toks"),
+        T.token_count("text").alias("n_tokens"),
+        T.fingerprint("text").alias("fp"),
+    )
+    s1 = stage(
+        "quality_gate",
+        toks.filter(F.col("n_tokens") >= 20),
+        n - cls,
+    )
+
+    # ---- stage 2: exact dedup — carries the token array forward
+    s2 = stage(
+        "dedup_exact",
+        D.dedup_exact(s1, ["fp"], "doc_id").select("doc_id", "toks"),
+        n - 2 * cls,
+    )
+    s1.unpersist()
+
+    # ---- stage 3: MinHash retire — shingles straight off the
+    # carried column (the re-tokenize arm pays tokens() again here).
+    # The shingle frame persists (doc_id, sh) ONLY: s2 already holds
+    # the token arrays, so the survivor filter reads s2 instead of
+    # carrying toks through the shingle cache — at 1M docs a
+    # (toks + sh) persist is ~2× the array mass and OOMed an 8 GB
+    # heap on the first cut of this arm; the carried column's cache
+    # cost is real and this is where it's paid correctly.
+    t0 = time.perf_counter()
+    sh = s2.select(
+        "doc_id",
+        D.shingles_from_tokens("toks", SHINGLE_N).alias("sh"),
+    ).persist()
+    cand = D.lsh_candidate_pairs(
+        sh,
+        id_col="doc_id",
+        shingle_col="sh",
+        num_hashes=32,
+        bands=16,
+    )
+    verified = (
+        D.pair_payloads(
+            sh, cand,
+            id_col="doc_id", payload_col="sh",
+        )
+        .select("id_a", "id_b", D.jaccard("sh_a", "sh_b").alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_pairs = verified.count()
+    assert n_pairs == cls, (n_pairs, cls)
+    clusters = D.connected_components(verified)
+    s3 = s2.join(
+        F.broadcast(clusters), s2.doc_id == clusters.id, "left"
+    ).filter(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    ).select("doc_id", "toks").persist()
+    rows3 = s3.count()
+    sec3 = round(time.perf_counter() - t0, 2)
+    assert rows3 == n - 3 * cls, (rows3, n - 3 * cls)
+    stages["dedup_minhash_retire"] = {
+        "rows": rows3,
+        "expected_rows": n - 3 * cls,
+        "verified_pairs": n_pairs,
+        "expected_pairs": cls,
+        "sec": sec3,
+        "exact_match": True,
+    }
+    print(f"# shared/dedup_minhash_retire: "
+          f"{stages['dedup_minhash_retire']}", file=sys.stderr)
+    verified.unpersist()
+    sh.unpersist()
+    s2.unpersist()
+
+    # ---- stage 4: ExactSubstr excision over token arrays — only
+    # the ~2·cls touched docs get a rewritten array
+    t0 = time.perf_counter()
+    s4 = substring_excise_from_tokens(
+        s3.select("doc_id", "toks"), hash_keys=True
+    ).select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_tokens"),
+        "n_tokens_removed",
+        F.col("toks_clean").alias("toks"),
+    ).persist()
+    agg4 = s4.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tokens_removed").alias("removed"),
+        F.sum((F.col("n_tokens_removed") > 0).cast("long")).alias(
+            "docs_touched"
+        ),
+    ).collect()[0]
+    sec4 = round(time.perf_counter() - t0, 2)
+    assert agg4["rows"] == n - 3 * cls
+    assert agg4["removed"] == SPAN_LEN * 2 * cls, agg4
+    assert agg4["docs_touched"] == 2 * cls, agg4
+    stages["substring_excise"] = {
+        "rows": agg4["rows"],
+        "tokens_removed": agg4["removed"],
+        "expected_tokens_removed": SPAN_LEN * 2 * cls,
+        "docs_touched": agg4["docs_touched"],
+        "sec": sec4,
+        "exact_match": True,
+    }
+    print(f"# shared/substring_excise: {stages['substring_excise']}",
+          file=sys.stderr)
+    s3.unpersist()
+
+    # ---- stage 5: decontam — n-gram shingles off the carried
+    # column; the benchmark side is identical to the other arm
+    bench_sh = (
+        synth_benchmark(spark, n)
+        .select(T.tokens("text").alias("toks"))
+        .select(
+            F.explode(
+                D.shingles_from_tokens("toks", _DECON_N)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_sh = s4.select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens("toks", _DECON_N)).alias(
+            "shingle"
+        ),
+    )
+    t0 = time.perf_counter()
+    flagged = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .persist()
+    )
+    n_flagged = flagged.count()
+    assert n_flagged == cls, (n_flagged, cls)
+    s5 = s4.join(flagged, "doc_id", "left_anti").persist()
+    rows5 = s5.count()
+    sec5 = round(time.perf_counter() - t0, 2)
+    assert rows5 == n - 4 * cls, (rows5, n - 4 * cls)
+    stages["decontam_ngram"] = {
+        "rows": rows5,
+        "expected_rows": n - 4 * cls,
+        "flagged": n_flagged,
+        "expected_flagged": cls,
+        "sec": sec5,
+        "exact_match": True,
+    }
+    print(f"# shared/decontam_ngram: {stages['decontam_ngram']}",
+          file=sys.stderr)
+    flagged.unpersist()
+    s4.unpersist()
+
+    # ---- stage 6: packing — lengths already carried as n_tokens
+    t0 = time.perf_counter()
+    packed = pack_sequences_frame(
+        s5.select(
+            "doc_id",
+            F.lit("all").alias("lang"),
+            F.col("n_tokens"),
+        ),
+        budget=_PACK_BUDGET,
+    )
+    agg6 = packed.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("seq_tokens").alias("tokens"),
+        F.max("seq_tokens").alias("max_seq"),
+    ).collect()[0]
+    sec6 = round(time.perf_counter() - t0, 2)
+    expected_tokens = WORDS * (n - 4 * cls) - SPAN_LEN * 2 * cls
+    assert agg6["docs"] == n - 4 * cls, agg6
+    assert agg6["tokens"] == expected_tokens, (
+        agg6["tokens"], expected_tokens,
+    )
+    assert agg6["max_seq"] < _PACK_BUDGET + WORDS, agg6
+    stages["pack_sequences"] = {
+        "n_seqs": agg6["n_seqs"],
+        "docs_packed": agg6["docs"],
+        "tokens_packed": agg6["tokens"],
+        "expected_tokens": expected_tokens,
+        "max_seq_tokens": agg6["max_seq"],
+        "budget": _PACK_BUDGET,
+        "sec": sec6,
+        "exact_match": True,
+    }
+    print(f"# shared/pack_sequences: {stages['pack_sequences']}",
+          file=sys.stderr)
+    s5.unpersist()
+
+    total = round(time.perf_counter() - t_total, 2)
+    return {
+        "stages": stages,
+        "total_sec": total,
+        "docs_per_sec_end_to_end": round(n / total),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
@@ -134,6 +379,10 @@ def main() -> None:
     ap.add_argument(
         "--quick", action="store_true",
         help="50k-doc smoke of the full harness + exact counts",
+    )
+    ap.add_argument(
+        "--skip-shared", action="store_true",
+        help="skip the shared-tokens arm (arm A + appendices only)",
     )
     args = ap.parse_args()
     n = 50_000 if args.quick else args.docs
@@ -514,9 +763,29 @@ def main() -> None:
     flagged.unpersist()
     s4.unpersist()
 
+    # ---- arm B: the tokenize-once re-composition (VERDICT r10 #1),
+    # same planted corpus, same stage protocol, same exact asserts —
+    # run AFTER arm A so the headline record keeps its capture
+    # conditions and the comparison is same-process, same-JVM-warmth
+    # (ordering favors arm B only through page cache, which the
+    # synthetic generator doesn't touch).
+    if not args.skip_shared:
+        out["shared_tokens_arm"] = run_shared_tokens_arm(spark, n, cls)
+        out["shared_tokens_arm"]["retokenize_total_sec"] = out["total_sec"]
+        out["shared_tokens_arm"]["speedup_vs_retokenize"] = round(
+            out["total_sec"] / out["shared_tokens_arm"]["total_sec"], 3
+        )
+        print(
+            f"# arm comparison: retokenize {out['total_sec']} s vs "
+            f"shared-tokens {out['shared_tokens_arm']['total_sec']} s "
+            f"({out['shared_tokens_arm']['speedup_vs_retokenize']}x)",
+            file=sys.stderr,
+        )
+
     out["host_end"] = host_snapshot()
     Path(_REPO, args.json).write_text(json.dumps(out, indent=1) + "\n")
-    print(json.dumps({k: v for k, v in out.items() if k != "stages"}))
+    print(json.dumps({k: v for k, v in out.items()
+                      if k not in ("stages", "shared_tokens_arm")}))
     spark.stop()
 
 

@@ -437,6 +437,26 @@ def test_substring_excision_round_trip(spark):
     }
     assert rows[1].clean_text.startswith("alpha beta")
     assert rows[1].clean_text.endswith("gamma delta epsilon zeta")
+    # round 11: the tokenize-once spelling (pre-tokenized input,
+    # token-array output — what the composed-pipeline shared-tokens
+    # arm runs) must produce the identical excisions
+    from database_join_spark.operators import text as T
+    from database_join_spark.queries.pipeline import (
+        substring_excise_from_tokens,
+    )
+
+    rows_t = {
+        r.doc_id: r
+        for r in substring_excise_from_tokens(
+            docs.select("doc_id", T.tokens("text").alias("toks"))
+        ).collect()
+    }
+    assert {
+        (d, r.n_tokens_removed, " ".join(r.toks_clean))
+        for d, r in rows_t.items()
+    } == {
+        (d, r.n_tokens_removed, r.clean_text) for d, r in rows.items()
+    }
     re_docs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
     assert substring_spans_frame(re_docs).count() == 0
 

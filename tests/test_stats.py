@@ -126,3 +126,54 @@ def test_host_snapshot_shape():
     assert s["mem_available_gb"] is None or s["mem_available_gb"] > 0
     la = s["loadavg"]
     assert la is None or (len(la) == 3 and all(x >= 0 for x in la))
+
+
+def test_plan_skewjoin_cached_skips_estimates_on_hit(spark, tmp_path):
+    """VERDICT r10 #4: the skew-join decision's two estimate inputs
+    (sampled top share, dim count) read through the catalog — the
+    hit path must run NO job on either frame, and the decision is
+    re-derived from the statistics (a live conf change still takes
+    effect on a warm catalog)."""
+    from database_join_spark.plans.stats import plan_skewjoin_cached
+
+    path = tmp_path / "stats.json"
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    dim = spark.range(0, 1_000).select(F.col("id").alias("k"))
+    p1, hit1 = plan_skewjoin_cached(
+        fact, "k", dim, "fact:v1", "dim:v1", path=path
+    )
+    assert hit1 is False
+    assert p1.strategy == "broadcast"  # 1k-row dim fits the budget
+    # hit path: frames whose scan would EXPLODE prove no job runs
+    bomb_fact = spark.range(1).select(
+        F.raise_error(F.lit("fact scan must not run")).alias("k")
+    )
+    bomb_dim = spark.range(1).select(
+        F.raise_error(F.lit("dim scan must not run")).alias("k")
+    )
+    p2, hit2 = plan_skewjoin_cached(
+        bomb_fact, "k", bomb_dim, "fact:v1", "dim:v1", path=path
+    )
+    assert hit2 is True
+    assert p2 == p1
+    # decision stays LIVE on cached statistics: disabling
+    # auto-broadcast flips the same cached inputs off broadcast
+    conf_key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "-1")
+        p3, hit3 = plan_skewjoin_cached(
+            bomb_fact, "k", bomb_dim, "fact:v1", "dim:v1", path=path
+        )
+        assert hit3 is True and p3.strategy != "broadcast"
+    finally:
+        spark.conf.set(conf_key, old)
+    # version rotation recomputes (fresh keys → estimates re-run)
+    p4, hit4 = plan_skewjoin_cached(
+        fact, "k", dim, "fact:v2", "dim:v2", path=path
+    )
+    assert hit4 is False and p4.strategy == "broadcast"
