@@ -88,3 +88,26 @@ def wholestage_codegen_ids(df: DataFrame) -> list[str]:
     df.collect()
     plan = plan_string(df, mode="simple")
     return sorted(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def heavy_inferred_filters(df: DataFrame, max_len: int = 200) -> list[str]:
+    """Filter lines in the OPTIMIZED plan whose condition embeds a
+    heavy generated expression — the round-10 Catalyst inlining-trap
+    signature (InferFiltersFromGenerate / constraint inference +
+    CollapseProject re-inlining a tokenizer, a k-centroid distance
+    pass, or a signature fold into a per-row filter; measured 2.4–19×
+    on the affected families). The heuristic is the regression pin's:
+    a Filter containing ``split(`` or ``transform(`` longer than
+    ``max_len`` chars — short single-tokenize gates (length filters)
+    pass. Returns the offending lines (empty = clean); scanned
+    registry-wide by scripts/plan_audit.py into PLANS.md and hard-
+    gated by tests/test_pipeline.test_no_inferred_expensive_filters."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for line in plan.splitlines():
+        s = line.strip()
+        if not (s.startswith("+- Filter") or s.startswith("Filter")):
+            continue
+        if ("split(" in s or "transform(" in s) and len(s) > max_len:
+            bad.append(s)
+    return bad

@@ -31,6 +31,12 @@ count is EXACT, not statistical:
   kept₃ = n − 3n/50           kept₅ = n − 4n/50
   packed tokens = 100·(kept₅ − 2n/50) + 88·(2n/50)
 
+Round 11 adds a second full arm (``shared_tokens_arm`` in the JSON,
+VERDICT r10 #1): tokenize ONCE at stage 1, carry the token array as
+a column, and run every later stage off it — same planted corpus,
+same persist protocol, same exact asserts. The arm comparison is the
+probe's headline (1M: 121.6 s retokenize vs 89.5 s shared, 1.36×).
+
 Usage: python scripts/pipeline_e2e_probe.py [--docs 1000000] [--quick]
 Writes PIPELINE_E2E_PROBE.json at the repo root.
 """

@@ -696,32 +696,27 @@ def test_no_inferred_expensive_filters(spark):
     isnotnull inference inlines a computed join key's whole
     expression as a per-row filter (a second k-means assign in
     topic_kmeans, a second signature fold in dedup_simhash).
-    Every query in the affected families must carry NO filter whose
-    condition embeds a heavy expression; the ≤200-char allowance
-    covers legitimate single-tokenize gates (length filters)."""
+    NO registry query may carry a filter whose condition embeds a
+    heavy expression; the ≤200-char allowance covers legitimate
+    single-tokenize gates (length filters). Round 11 (VERDICT r10
+    #6): the scan is REGISTRY-WIDE — round 10's version hard-coded
+    the 9 affected families, so a new query with a two-step explode
+    would have shipped unguarded. The same detector
+    (plans.heavy_inferred_filters) feeds PLANS.md's heavy-filter
+    column; this test is the hard gate over the identical scan."""
+    from database_join_spark import plans as P
     from database_join_spark.queries import load_all
 
     reg = load_all()
-    for qid in (
-        "decontam_ngram", "decontam_bloom", "decontam_hashed",
-        "decontam_minhash", "dedup_minhash", "dedup_simhash",
-        "dedup_semantic", "topic_kmeans", "text_winnow",
-    ):
-        plan = (
-            reg[qid].fn(spark, SF_DIR)
-            ._jdf.queryExecution()
-            .optimizedPlan()
-            .toString()
-        )
-        for line in plan.splitlines():
-            s = line.strip()
-            if not (s.startswith("+- Filter") or s.startswith("Filter")):
-                continue
-            if ("split(" in s or "transform(" in s) and len(s) > 200:
-                raise AssertionError(
-                    f"{qid}: inferred filter re-inlines a heavy "
-                    f"expression ({len(s)} chars): {s[:300]}"
-                )
+    offenders = {}
+    for qid, spec in sorted(reg.items()):
+        bad = P.heavy_inferred_filters(spec.fn(spark, SF_DIR))
+        if bad:
+            offenders[qid] = bad[0][:300]
+    assert not offenders, (
+        f"{len(offenders)} queries carry inlining-trap filters: "
+        f"{offenders}"
+    )
 
 
 def test_semdedup_sampled_fit_contract(spark):
@@ -804,3 +799,41 @@ def test_semdedup_gemm_int64_fallback_exact(spark):
     }
     assert got <= truth
     assert len(got & truth) / len(truth) == 1.0
+
+
+def test_semdedup_coarse_score_identical(spark):
+    """The two-tier int8/SGEMM scorer (round 11, VERDICT r10 #5)
+    must emit the IDENTICAL pair set and cosines as the exact
+    scorer: recall 1.0 is guaranteed by the per-vector angular-error
+    bound (a pair survives tier 1 iff its int8 cosine clears
+    cos(arccos(thr)+θa+θb)), precision by the exact int64 tier-2
+    re-verify. Checked at two thresholds (a permissive one near the
+    background-cosine mass exercises the near-threshold band where a
+    sloppy bound would lose pairs) and on 8x-scaled coordinates
+    (the int64-GEMM fallback shape composed with coarse)."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.catalog import table
+    from database_join_spark.operators.similarity import semdedup_pairs
+
+    emb = table(spark, SF_DIR, "embeddings")
+
+    def pairs(e, thr, **kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in semdedup_pairs(
+                e, k=10, iterations=3, m=4, threshold=thr, **kw
+            ).collect()
+        )
+
+    for thr in (0.4, 0.15):
+        exact = pairs(emb, thr)
+        assert exact, "fixture must plant pairs at this threshold"
+        assert pairs(emb, thr, coarse_score=True) == exact
+    scaled = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x * 8.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    assert pairs(scaled, 0.4, coarse_score=True) == pairs(scaled, 0.4)
