@@ -48,16 +48,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: Round-11 rotation (VERDICT r10 #3/#7, rotation 9): retire the r08
 #: tail — all 21 ids whose newest driver row is r08 (computed by set
 #: arithmetic over the 10 committed CORRECTNESS artifacts) — plus the
-#: two first-row entrants (``decontam_hashed``, the ONLY id that
-#: never earned a driver row, VERDICT r10 what's-wrong #1; and the
-#: newly promoted ``dedup_substring_hashed``, VERDICT r10 #7), the
-#: 4-id flagship block, and — with 23 slots still free under the cap
-#: — the first 23 of the 46-id r09 tail in sorted order, so rotation
-#: 10 inherits a 23-id tail instead of 46. 21 + 2 + 4 + 23 = exactly
-#: the 50-row cap. Everything rotated out holds a fresh r09/r10 row
-#: and remains pytest-hash-compared every run
-#: (tests/test_oracle_parity.py). After this round no registry id's
-#: newest driver row is older than r09 and no id has zero history.
+#: THREE first-row entrants (``decontam_hashed``, the ONLY id that
+#: never earned a driver row, VERDICT r10 what's-wrong #1; the newly
+#: promoted ``dedup_substring_hashed``, VERDICT r10 #7; and the
+#: r11-born composed ``corpus_pipeline`` — new ids gate in their
+#: birth round), the 4-id flagship block, and — with 22 slots still
+#: free under the cap — the first 22 of the 46-id r09 tail in sorted
+#: order (through ``text_analysis``; ``text_langid`` and later wait
+#: for rotation 10, which inherits a 24-id tail instead of 46).
+#: 21 + 3 + 4 + 22 = exactly the 50-row cap. Everything rotated out
+#: holds a fresh r09/r10 row and remains pytest-hash-compared every
+#: run (tests/test_oracle_parity.py). After this round no registry
+#: id's newest driver row is older than r09 and no id has zero
+#: history.
 #:
 #: Rotation history: r06 gave first rows to the r06-born ids except
 #: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
@@ -80,11 +83,12 @@ DRIVER_GATE: frozenset[str] = frozenset({
     "higher_order_funcs", "join_broadcast", "join_hash_multi",
     "join_hash_single", "join_nlj_multi", "join_nlj_single",
     "pivot_wide",
-    # -- first driver rows: the r10-born hashed decontam tier and the
-    #    r11-promoted hashed ExactSubstr spelling
-    "decontam_hashed", "dedup_substring_hashed",
-    # -- r09-tail refresh: first 23 of the 46 r09 ids in sorted order
-    #    (rotation 10 takes the remaining 23: text_quality…window_*)
+    # -- first driver rows: the r10-born hashed decontam tier, the
+    #    r11-promoted hashed ExactSubstr spelling, and the r11-born
+    #    composed pipeline
+    "decontam_hashed", "dedup_substring_hashed", "corpus_pipeline",
+    # -- r09-tail refresh: first 22 of the 46 r09 ids in sorted order
+    #    (rotation 10 takes the remaining 24: text_langid…window_*)
     "agg_bucketed_exchange_free", "dedup_minhash", "join_outer",
     "join_range", "join_semi_anti", "join_sortmerge",
     "multimodal_features", "project_expr", "scalar_funcs",
@@ -92,7 +96,6 @@ DRIVER_GATE: frozenset[str] = frozenset({
     "simsearch_ivf_stored", "simsearch_lsh", "simsearch_lsh_stored",
     "sort_limit", "source_synthdocs", "stream_interval_join",
     "stream_session", "stream_tumbling", "text_analysis",
-    "text_langid",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
     #    is re-proven under the driver every round)
     "agg_scalar_avg",

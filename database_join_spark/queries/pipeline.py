@@ -3256,3 +3256,175 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_SEMDEDUP_PROBES,
         threshold=_COS_DUP_THRESHOLD,
     )
+
+
+# --------------------------------------------------------------------------
+# 42b. corpus_pipeline — the COMPOSED training-data pipeline as one
+#      oracle-gated query (round 11)
+# --------------------------------------------------------------------------
+_PIPE_MIN_TOKENS = 20  # quality gate (fixture median ~56 tokens)
+
+@query(
+    "corpus_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {T.TOKENS_DUCK.format(c="text")} AS t,
+             {T.FINGERPRINT_DUCK.format(c="text")} AS fp
+      FROM documents
+    ),
+    corpus AS (
+      SELECT * FROM toks
+      WHERE doc_id % {_DECON_MOD} <> 0 AND len(t) >= {_PIPE_MIN_TOKENS}
+    ),
+    surv AS (
+      SELECT doc_id, lang, t FROM (
+        SELECT doc_id, lang, t,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM corpus
+      ) WHERE rn = 1
+    ),
+    posns AS (
+      SELECT doc_id, t,
+             unnest(range(0, len(t) - {_SUBSTR_K} + 1)) AS pos
+      FROM surv WHERE len(t) >= {_SUBSTR_K}
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos + 1 : pos + {_SUBSTR_K}], ' ') AS win
+      FROM posns
+    ),
+    dup AS (
+      SELECT win FROM wins GROUP BY win HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM wins WHERE win IN (SELECT win FROM dup)
+    ),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(LAG(pos) OVER w, -{_SUBSTR_K + 1})
+                            + {_SUBSTR_K} THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marks
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_K - 1} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    removed AS (
+      SELECT doc_id, SUM(e - s + 1) AS n_removed FROM spans
+      GROUP BY doc_id
+    ),
+    bench AS (
+      SELECT DISTINCT unnest({D.shingles_duck("text", _DECON_N)}) AS shingle
+      FROM documents WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    corp_sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+               for i in range(1, len(t) - {_DECON_N - 2})])) AS shingle
+      FROM surv
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM corp_sh JOIN bench USING (shingle)
+    ),
+    final AS (
+      SELECT s.doc_id, s.lang,
+             len(s.t) - COALESCE(r.n_removed, 0) AS n_tokens
+      FROM surv s LEFT JOIN removed r USING (doc_id)
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+      FROM final
+    )
+    SELECT lang,
+           CAST(tok_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM cum GROUP BY lang, seq_id
+    """,
+    tags=("pipeline", "composed"),
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed training-data pipeline as one oracle-gated query
+    (round 11): quality gate (>= _PIPE_MIN_TOKENS tokens) →
+    benchmark split removal (doc_id % _DECON_MOD = 0 held out) →
+    exact dedup (min-id survivor per fingerprint) → ExactSubstr span
+    excision (k = _SUBSTR_K, survivors' token counts shrink by their
+    merged duplicate-span cover) → n-gram decontamination (drop docs
+    sharing any _DECON_N-gram with the held-out split) → sequence
+    packing of the cleaned token counts (_PACK_BUDGET per language,
+    doc_id order).
+
+    The 1M-doc volume evidence with planted masses is
+    PIPELINE_E2E_PROBE.json (scripts/pipeline_e2e_probe.py, both the
+    re-tokenize and the tokenize-once arms); THIS id is the
+    composition's hash-exact correctness gate — every stage
+    interaction (a doc dropped twice, an excised span escaping the
+    packed mass, decontam flagging a retired doc) shifts seq_tokens
+    or a sequence boundary and fails the driver compare. Flags are
+    computed on PRE-excision survivors (contamination is present
+    whether or not a duplicated span overlaps it); the oracle
+    mirrors the order exactly.
+
+    Spelling is the round-11 tokenize-once discipline: one
+    projection derives (toks, n_tokens, fp) from text, every stage
+    consumes the carried array — no stage re-tokenizes. Explodes are
+    one-step (the inlining-trap rule); the registry-wide plan scan
+    covers this id like any other.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        T.tokens("text").alias("toks"),
+        T.token_count("text").alias("n_tokens"),
+        T.fingerprint("text").alias("fp"),
+    )
+    corpus = toks.filter(
+        (F.col("doc_id") % _DECON_MOD != 0)
+        & (F.col("n_tokens") >= _PIPE_MIN_TOKENS)
+    )
+    surv = D.dedup_exact(corpus, ["fp"], "doc_id").select(
+        "doc_id", "lang", "toks", "n_tokens"
+    )
+    exc = substring_excise_from_tokens(
+        surv.select("doc_id", "toks")
+    ).select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_clean"),
+    )
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        T.tokens("text").alias("toks")
+    ).select(
+        F.explode(D.shingles_from_tokens("toks", _DECON_N)).alias(
+            "shingle"
+        )
+    ).distinct()
+    flagged = (
+        surv.select(
+            "doc_id",
+            F.explode(D.shingles_from_tokens("toks", _DECON_N)).alias(
+                "shingle"
+            ),
+        )
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    final = (
+        surv.select("doc_id", "lang")
+        .join(exc, "doc_id")
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.col("n_clean").alias("n_tokens"))
+    )
+    return pack_sequences_frame(final)

@@ -251,9 +251,27 @@ def main() -> None:
     ).count()
     out["ids_missing_after_recovery"] = missing
     out["ids_extra_after_recovery"] = extra
-    # orphan files: on disk but excluded by the sink's metadata log
-    on_disk = len(list(Path(kill_sink).glob("*.parquet")))
-    out["kill_sink_files_on_disk"] = on_disk
+    # orphan files: on disk but excluded by the sink's metadata log —
+    # their presence shows the kill really interrupted uncommitted
+    # work; their exclusion is the exactly-once mechanism. The
+    # metadata log lists committed files as JSON lines with a "path".
+    def committed_files(sink):
+        names = set()
+        for f in Path(sink, "_spark_metadata").iterdir():
+            if f.name.startswith(".") or f.name.endswith(".crc"):
+                continue
+            for line in f.read_text().splitlines():
+                if '"path"' in line:
+                    names.add(
+                        json.loads(line)["path"].rsplit("/", 1)[-1]
+                    )
+        return names
+
+    on_disk = {p.name for p in Path(kill_sink).glob("*.parquet")}
+    listed = committed_files(kill_sink)
+    out["kill_sink_files_on_disk"] = len(on_disk)
+    out["kill_sink_files_committed"] = len(on_disk & listed)
+    out["kill_sink_orphan_files"] = len(on_disk - listed)
     assert out["control_sink"] == {
         "rows": expected_unique, "unique_ids": expected_unique,
     }, out["control_sink"]
@@ -264,8 +282,9 @@ def main() -> None:
     out["exactly_once"] = True
     print(
         f"# exactly-once: control == kill == {expected_unique} "
-        f"unique ids; {on_disk} data files on disk "
-        f"(orphans excluded by _spark_metadata)",
+        f"unique ids; {out['kill_sink_orphan_files']} orphan data "
+        f"files on disk excluded by _spark_metadata "
+        f"({out['kill_sink_files_committed']} committed)",
         file=sys.stderr,
     )
 
