@@ -119,6 +119,41 @@ def main() -> None:
     assert plan.strategy == "aqe_split", plan
     assert plan.confs == skewjoin_detection_confs(), plan.confs
 
+    # ---- catalog-amortized decision (round 11, VERDICT r10 #4): the
+    # same estimates read through plans/stats — first call pays the
+    # sampled top-share pass + dim count, the repeat is a file read
+    # and must return the identical plan
+    import tempfile
+
+    from database_join_spark.plans.stats import plan_skewjoin_cached
+
+    cat = os.path.join(
+        tempfile.mkdtemp(prefix=f"skewjoin_cat_u{os.getuid()}_"),
+        "stats.json",
+    )
+    fkey = f"datagen:skewprobe-fact|rows={rows}|hot_p={args.hot_p}"
+    dkey = f"datagen:skewprobe-dim|rows={dim_rows}"
+    t0 = time.perf_counter()
+    p_cold, hit_cold = plan_skewjoin_cached(
+        fact, "key", dim, fkey, dkey, path=cat
+    )
+    cold_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    p_warm, hit_warm = plan_skewjoin_cached(
+        fact, "key", dim, fkey, dkey, path=cat
+    )
+    warm_sec = round(time.perf_counter() - t0, 3)
+    assert (hit_cold, hit_warm) == (False, True)
+    assert p_warm == p_cold and p_cold.strategy == plan.strategy
+    out["arms"]["auto_cached"] = {
+        "decision": p_cold.strategy,
+        "decide_sec_cold": cold_sec,
+        "decide_sec_warm": warm_sec,
+        "amortization": round(cold_sec / max(warm_sec, 1e-4), 1),
+    }
+    print(f"# auto_cached: {out['arms']['auto_cached']}",
+          file=sys.stderr)
+
     prev = {k: spark.conf.get(k, None) for k in plan.confs}
     for k, v in plan.confs.items():
         spark.conf.set(k, v)
