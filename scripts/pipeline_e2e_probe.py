@@ -199,18 +199,25 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     )
     s1.unpersist()
 
-    # ---- stage 3: MinHash retire — shingles straight off the
-    # carried column (the re-tokenize arm pays tokens() again here).
-    # The shingle frame persists (doc_id, sh) ONLY: s2 already holds
-    # the token arrays, so the survivor filter reads s2 instead of
-    # carrying toks through the shingle cache — at 1M docs a
-    # (toks + sh) persist is ~2× the array mass and OOMed an 8 GB
-    # heap on the first cut of this arm; the carried column's cache
-    # cost is real and this is where it's paid correctly.
+    # ---- stage 3: MinHash retire — HASHED shingles straight off the
+    # carried column (the re-tokenize arm pays tokens() + shingle
+    # strings again here): shingle_hashes_from_tokens builds the
+    # distinct int64 set without ever allocating an n-gram string,
+    # the signature fold skips the string→hash pass, and the
+    # pair-verify shuffle carries 8-byte hashes instead of ~20-byte
+    # strings (MINHASH_HASHED_PROBE: 2.08× at 1M, identical verified
+    # pairs; the exact planted-pair assert below is the per-run
+    # collision check). The shingle frame persists (doc_id, sh)
+    # ONLY: s2 already holds the token arrays, so the survivor
+    # filter reads s2 instead of carrying toks through the shingle
+    # cache — at 1M docs a (toks + sh) persist is ~2× the array
+    # mass and OOMed an 8 GB heap on the first cut of this arm; the
+    # carried column's cache cost is real and this is where it's
+    # paid correctly.
     t0 = time.perf_counter()
     sh = s2.select(
         "doc_id",
-        D.shingles_from_tokens("toks", SHINGLE_N).alias("sh"),
+        D.shingle_hashes_from_tokens("toks", SHINGLE_N).alias("sh"),
     ).persist()
     cand = D.lsh_candidate_pairs(
         sh,
@@ -218,6 +225,7 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
         shingle_col="sh",
         num_hashes=32,
         bands=16,
+        prehashed=True,
     )
     verified = (
         D.pair_payloads(
