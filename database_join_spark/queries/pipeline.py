@@ -3376,11 +3376,19 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether or not a duplicated span overlaps it); the oracle
     mirrors the order exactly.
 
-    Spelling is the round-11 tokenize-once discipline: one
-    projection derives (toks, n_tokens, fp) from text, every stage
-    consumes the carried array — no stage re-tokenizes. Explodes are
-    one-step (the inlining-trap rule); the registry-wide plan scan
-    covers this id like any other.
+    Spelling is the round-11 tokenize-once discipline at the PLAN
+    level: one projection derives (toks, n_tokens, fp) from text and
+    every stage consumes the carried array — no stage spells its own
+    tokenize. Physically, a single-DAG registry query re-evaluates
+    shared lineage once per consuming branch (excision, decontam,
+    and the final join each re-derive ``surv``), which is correct
+    and fine at gate scale; the at-scale composition materializes
+    each stage boundary instead (persist in the E2E probe's
+    shared-tokens arm, staged parquet per
+    TOKEN_STAGING_PROBE.json — the token-array column is 0.46× the
+    text bytes at rest). Explodes are one-step (the inlining-trap
+    rule); the registry-wide plan scan covers this id like any
+    other.
     """
     docs = _docs(spark, sf_dir)
     toks = docs.select(
