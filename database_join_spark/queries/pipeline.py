@@ -2586,6 +2586,51 @@ def dedup_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_frame(_docs(spark, sf_dir), hash_keys=True)
 
 
+def substring_window_keys(
+    toks_df: DataFrame, hash_keys: bool = False
+) -> DataFrame:
+    """Per-document window-key ARRAY ``(doc_id, wkeys)`` where
+    ``wkeys[i]`` is the k-token window key starting at token ``i`` —
+    the materialization point of the ExactSubstr span pass (round
+    11). The span plan consumes the window stream TWICE (duplicate
+    groupBy + hit probe; the probe side is a broadcast semi-join, so
+    no exchange reuse saves it), and key production — k ``element_at``
+    lookups plus a hash or concat per position — dominates the stage.
+    A caller that persists THIS frame pays production once and
+    re-explodes a compact array (8-byte hashes under ``hash_keys``:
+    ~⅛ the cache mass of the token strings) on each pass; see
+    SUBSTR_WINCACHE_PROBE.json for the measured arms."""
+    key = (
+        D.ngram_hashes_from_tokens("toks", _SUBSTR_K)
+        if hash_keys
+        else D.ngrams_from_tokens("toks", _SUBSTR_K)
+    )
+    return toks_df.select("doc_id", key.alias("wkeys"))
+
+
+def substring_spans_from_window_keys(keys_df: DataFrame) -> DataFrame:
+    """Merged duplicate spans over a ``(doc_id, wkeys)`` frame from
+    :func:`substring_window_keys`. Same plan as
+    :func:`substring_spans_from_tokens` from the window explode on;
+    splitting here lets a composed pipeline persist the key arrays
+    and pay window-key production once across the two consumers.
+
+    ``keys_df`` MUST be persisted (and materialized) by the caller:
+    over a lazy projection this select-then-explode spelling is
+    exactly the two-step shape the round-10 inlining trap punishes
+    (``InferFiltersFromGenerate`` would inline the key-production
+    expression into an inferred ``size(wkeys) > 0`` filter — see
+    :func:`operators.dedup.shingles_from_tokens`); the cache
+    boundary is what blocks that inference. The lazy path stays
+    :func:`substring_spans_from_tokens`, which explodes the key
+    expression in one step and infers no filter."""
+    wins = keys_df.select(
+        "doc_id",
+        F.posexplode("wkeys").alias("pos", "win"),
+    )
+    return _spans_from_windows(wins)
+
+
 def substring_spans_from_tokens(
     toks_df: DataFrame, hash_keys: bool = False
 ) -> DataFrame:
@@ -2596,7 +2641,13 @@ def substring_spans_from_tokens(
     tokenizer ONCE at ingest instead of once per stage. Same plan
     from the window explode on: one groupBy on the window key
     (string, or xxhash64 under ``hash_keys``), hit semi-join back,
-    gaps-and-islands merge on the per-doc exchange."""
+    gaps-and-islands merge on the per-doc exchange.
+
+    Window-key production runs twice here (both span-plan consumers
+    re-derive it from ``toks``; the explode is spelled ONE-step so no
+    filter is inferred — the round-10 trap); to pay production once,
+    persist :func:`substring_window_keys` and call
+    :func:`substring_spans_from_window_keys`."""
     key = (
         D.ngram_hashes_from_tokens("toks", _SUBSTR_K)
         if hash_keys
@@ -2606,6 +2657,13 @@ def substring_spans_from_tokens(
         "doc_id",
         F.posexplode(key).alias("pos", "win"),
     )
+    return _spans_from_windows(wins)
+
+
+def _spans_from_windows(wins: DataFrame) -> DataFrame:
+    """Gaps-and-islands span merge over an exploded
+    ``(doc_id, pos, win)`` window stream — shared core of the
+    from-tokens and from-window-keys entry points."""
     dup = (
         wins.groupBy("win")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -2771,7 +2829,9 @@ def substring_excise_frame(
 
 
 def substring_excise_from_tokens(
-    toks_df: DataFrame, hash_keys: bool = False
+    toks_df: DataFrame,
+    hash_keys: bool = False,
+    keys_df: DataFrame | None = None,
 ) -> DataFrame:
     """Excision over a pre-tokenized ``(doc_id, toks)`` frame — the
     tokenize-once spelling (round 11, VERDICT r10 #1). Returns
@@ -2780,9 +2840,18 @@ def substring_excise_from_tokens(
     re-tokenize downstream: excision touches only the docs with
     spans (the left join's null branch passes ``toks`` through
     untouched), and every later stage consumes ``toks_clean``
-    directly."""
+    directly.
+
+    ``keys_df`` (a persisted :func:`substring_window_keys` frame over
+    the same docs) makes the span pass pay window-key production once
+    instead of twice; ``hash_keys`` is ignored when it is given."""
+    spans_src = (
+        substring_spans_from_window_keys(keys_df)
+        if keys_df is not None
+        else substring_spans_from_tokens(toks_df, hash_keys=hash_keys)
+    )
     spans = (
-        substring_spans_from_tokens(toks_df, hash_keys=hash_keys)
+        spans_src
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")

@@ -154,6 +154,7 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
         _PACK_BUDGET,
         pack_sequences_frame,
         substring_excise_from_tokens,
+        substring_window_keys,
     )
 
     stages: dict = {}
@@ -264,10 +265,22 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     s2.unpersist()
 
     # ---- stage 4: ExactSubstr excision over token arrays — only
-    # the ~2·cls touched docs get a rewritten array
+    # the ~2·cls touched docs get a rewritten array. The window-key
+    # ARRAYS persist first (round 11, SUBSTR_WINCACHE_PROBE): the
+    # span plan consumes the window stream twice (dup groupBy + hit
+    # probe, a broadcast semi-join — no exchange reuse), so a
+    # persisted (doc_id, wkeys) frame pays key production once;
+    # 2.66× on the isolated span pass at 1M (53.6 → 20.2 s, +773 MB
+    # cache ≈ half the token cache; persisting the EXPLODED rows
+    # instead measured 22.4 s at the same cache mass — close second,
+    # but the array form also keeps the explode one-step-safe).
     t0 = time.perf_counter()
-    s4 = substring_excise_from_tokens(
+    wkeys = substring_window_keys(
         s3.select("doc_id", "toks"), hash_keys=True
+    ).persist()
+    wkeys.count()
+    s4 = substring_excise_from_tokens(
+        s3.select("doc_id", "toks"), keys_df=wkeys
     ).select(
         "doc_id",
         (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_tokens"),
@@ -295,6 +308,7 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     }
     print(f"# shared/substring_excise: {stages['substring_excise']}",
           file=sys.stderr)
+    wkeys.unpersist()
     s3.unpersist()
 
     # ---- stage 5: decontam — n-gram shingles off the carried

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Composed corpus-pipeline SCALE sweep (round 11).
+
+PIPELINE_E2E_PROBE pins the 1M-doc composed record (shared-tokens
+arm, every planted mass exact). This probe answers the 100 TB
+question the single point can't: does end-to-end docs/s HOLD as the
+corpus grows? Every stage is designed shuffle-linear — one
+(key, id) exchange for exact dedup, banded id-only shuffles for
+MinHash, two output-bounded exchanges for ExactSubstr, a broadcast
+probe for decontam, a 3-row-per-task aggregate for packing — so
+doubling docs should double wall, not worse. This sweep runs the
+SAME shared-tokens arm (same planted classes, same exact asserts,
+masses parametric in n) at 1M / 2M / 4M docs and records docs/s per
+point plus the scaling efficiency vs the 1M reference.
+
+Protocol: each point runs in a FRESH JVM (subprocess) so cache state
+never leaks between points, with the driver heap scaled 8 GB per 1M
+docs (SPARK_GRAFT_DRIVER_MEM, recorded per point) — the single-box
+stand-in for a cluster scaling executors with data; core count stays
+local[32] throughout, so perfect scaling is FLAT docs/s.
+
+Usage: python scripts/pipeline_scale_probe.py
+           [--points 1000000,2000000,4000000] [--quick]
+Writes PIPELINE_SCALE_PROBE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def run_point(n: int, out_path: str) -> None:
+    """Child mode: one sweep point in this (fresh) JVM."""
+    from database_join_spark.hostinfo import host_snapshot
+    from database_join_spark.session import get_spark
+    from scripts.pipeline_e2e_probe import run_shared_tokens_arm
+
+    spark = get_spark(app_name=f"pipeline-scale-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    rec = {
+        "docs": n,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "host_start": host_snapshot(),
+    }
+    t0 = time.perf_counter()
+    rec["arm"] = run_shared_tokens_arm(spark, n, n // 50)
+    rec["wall_sec"] = round(time.perf_counter() - t0, 2)
+    rec["host_end"] = host_snapshot()
+    Path(out_path).write_text(json.dumps(rec) + "\n")
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--points", default="1000000,2000000,4000000",
+        help="comma-separated doc counts (each a multiple of 50)",
+    )
+    ap.add_argument("--json", default="PIPELINE_SCALE_PROBE.json")
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="50k/100k/200k smoke of the full harness",
+    )
+    ap.add_argument("--point", type=int, help="(internal) child mode")
+    ap.add_argument("--out", help="(internal) child output path")
+    args = ap.parse_args()
+
+    if args.point:
+        run_point(args.point, args.out)
+        return
+
+    points = (
+        [50_000, 100_000, 200_000]
+        if args.quick
+        else [int(p) for p in args.points.split(",")]
+    )
+    for n in points:
+        assert n % 50 == 0, "doc counts must be multiples of 50"
+
+    out: dict = {"points": [], "local_cores": int(
+        os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+    )}
+    for n in points:
+        heap_gb = max(8, round(8 * n / 1_000_000))
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{heap_gb}g")
+        with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+            subprocess.run(
+                [sys.executable, __file__,
+                 "--point", str(n), "--out", tmp.name],
+                check=True, env=env, cwd=_REPO,
+            )
+            rec = json.loads(Path(tmp.name).read_text())
+        rec["docs_per_sec"] = rec["arm"]["docs_per_sec_end_to_end"]
+        out["points"].append(rec)
+        print(f"# {n}: {rec['arm']['total_sec']} s, "
+              f"{rec['docs_per_sec']} docs/s, heap {heap_gb}g",
+              file=sys.stderr)
+
+    ref = out["points"][0]["docs_per_sec"]
+    for rec in out["points"]:
+        rec["scaling_efficiency_vs_first"] = round(
+            rec["docs_per_sec"] / ref, 3
+        )
+    Path(_REPO, args.json).write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps([
+        {"docs": r["docs"], "total_sec": r["arm"]["total_sec"],
+         "docs_per_sec": r["docs_per_sec"],
+         "eff": r["scaling_efficiency_vs_first"]}
+        for r in out["points"]
+    ]))
+
+
+if __name__ == "__main__":
+    main()

@@ -457,6 +457,37 @@ def test_substring_excision_round_trip(spark):
     } == {
         (d, r.n_tokens_removed, r.clean_text) for d, r in rows.items()
     }
+    # round 11: the persisted-window-keys spelling (pays key
+    # production once across the span plan's two consumers,
+    # SUBSTR_WINCACHE_PROBE) must find the identical spans and
+    # excise identically
+    from database_join_spark.queries.pipeline import (
+        substring_spans_from_window_keys,
+        substring_window_keys,
+    )
+
+    toks = docs.select("doc_id", T.tokens("text").alias("toks"))
+    wkeys = substring_window_keys(toks, hash_keys=True).persist()
+    try:
+        wkeys.count()
+        spans_k = substring_spans_from_window_keys(wkeys).collect()
+        assert {
+            (r.doc_id, r.span_start, r.span_end) for r in spans_k
+        } == {(r.doc_id, r.span_start, r.span_end) for r in spans}
+        rows_k = {
+            r.doc_id: r
+            for r in substring_excise_from_tokens(
+                toks, keys_df=wkeys
+            ).collect()
+        }
+        assert {
+            (d, r.n_tokens_removed, " ".join(r.toks_clean))
+            for d, r in rows_k.items()
+        } == {
+            (d, r.n_tokens_removed, r.clean_text) for d, r in rows.items()
+        }
+    finally:
+        wkeys.unpersist()
     re_docs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
     assert substring_spans_frame(re_docs).count() == 0
 
