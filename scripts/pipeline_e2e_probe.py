@@ -133,7 +133,9 @@ def synth_benchmark(spark, n: int):
     )
 
 
-def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
+def run_shared_tokens_arm(
+    spark, n: int, cls: int, staging: str = "persist"
+) -> dict:
     """The tokenize-once re-composition (round 11, VERDICT r10 #1):
     stage 1 materializes the token ARRAY as a column; every later
     stage (fingerprint, shingles, ExactSubstr windows, decontam
@@ -142,7 +144,21 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     rewrites only the token arrays of the docs it touches (the span
     join's null branch passes ``toks`` through). Stage masses are
     asserted EXACT against the same planted arithmetic as the
-    re-tokenize arm."""
+    re-tokenize arm.
+
+    ``staging`` picks the stage-boundary medium: ``"persist"``
+    (executor cache, the within-memory record arm) or ``"parquet"``
+    (write/read a columnar file per boundary — the at-scale
+    discipline once the carried token column outgrows the storage
+    pool; PIPELINE_SCALE_PROBE's 4M point measured the persist arm
+    falling off the linear path exactly there, while the token
+    array's parquet form is ~8× smaller than its in-memory cache,
+    TOKEN_STAGING_PROBE). Within-stage working state (shingle sets,
+    window keys, pair verdicts — all bounded) persists in both
+    modes."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from database_join_spark.operators import dedup as D
@@ -157,12 +173,30 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
         substring_window_keys,
     )
 
+    assert staging in ("persist", "parquet"), staging
+    stage_dir = (
+        tempfile.mkdtemp(prefix="e2e_stage_")
+        if staging == "parquet"
+        else None
+    )
     stages: dict = {}
     t_total = time.perf_counter()
 
+    def materialize(name: str, df):
+        """Stage-boundary materialization under the chosen medium."""
+        if staging == "persist":
+            return df.persist()
+        path = f"{stage_dir}/{name}"
+        df.write.parquet(path)
+        return spark.read.parquet(path)
+
+    def release(df) -> None:
+        if staging == "persist":
+            df.unpersist()
+
     def stage(name: str, df, expected_rows: int | None = None):
         t0 = time.perf_counter()
-        df = df.persist()
+        df = materialize(name, df)
         rows = df.count()
         sec = round(time.perf_counter() - t0, 2)
         rec = {"rows": rows, "sec": sec}
@@ -198,7 +232,7 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
         D.dedup_exact(s1, ["fp"], "doc_id").select("doc_id", "toks"),
         n - 2 * cls,
     )
-    s1.unpersist()
+    release(s1)
 
     # ---- stage 3: MinHash retire — HASHED shingles straight off the
     # carried column (the re-tokenize arm pays tokens() + shingle
@@ -243,10 +277,14 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     clusters = D.connected_components(verified)
     s3 = s2.join(
         F.broadcast(clusters), s2.doc_id == clusters.id, "left"
-    ).filter(
-        F.col("cluster_id").isNull()
-        | (F.col("cluster_id") == F.col("doc_id"))
-    ).select("doc_id", "toks").persist()
+    )
+    s3 = materialize(
+        "minhash_survivors",
+        s3.filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).select("doc_id", "toks"),
+    )
     rows3 = s3.count()
     sec3 = round(time.perf_counter() - t0, 2)
     assert rows3 == n - 3 * cls, (rows3, n - 3 * cls)
@@ -262,7 +300,7 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
           f"{stages['dedup_minhash_retire']}", file=sys.stderr)
     verified.unpersist()
     sh.unpersist()
-    s2.unpersist()
+    release(s2)
 
     # ---- stage 4: ExactSubstr excision over token arrays — only
     # the ~2·cls touched docs get a rewritten array. The window-key
@@ -279,14 +317,19 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
         s3.select("doc_id", "toks"), hash_keys=True
     ).persist()
     wkeys.count()
-    s4 = substring_excise_from_tokens(
-        s3.select("doc_id", "toks"), keys_df=wkeys
-    ).select(
-        "doc_id",
-        (F.col("n_tokens") - F.col("n_tokens_removed")).alias("n_tokens"),
-        "n_tokens_removed",
-        F.col("toks_clean").alias("toks"),
-    ).persist()
+    s4 = materialize(
+        "substring_excised",
+        substring_excise_from_tokens(
+            s3.select("doc_id", "toks"), keys_df=wkeys
+        ).select(
+            "doc_id",
+            (F.col("n_tokens") - F.col("n_tokens_removed")).alias(
+                "n_tokens"
+            ),
+            "n_tokens_removed",
+            F.col("toks_clean").alias("toks"),
+        ),
+    )
     agg4 = s4.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum("n_tokens_removed").alias("removed"),
@@ -309,7 +352,7 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     print(f"# shared/substring_excise: {stages['substring_excise']}",
           file=sys.stderr)
     wkeys.unpersist()
-    s3.unpersist()
+    release(s3)
 
     # ---- stage 5: decontam — n-gram shingles off the carried
     # column; the benchmark side is identical to the other arm
@@ -338,7 +381,9 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     )
     n_flagged = flagged.count()
     assert n_flagged == cls, (n_flagged, cls)
-    s5 = s4.join(flagged, "doc_id", "left_anti").persist()
+    s5 = materialize(
+        "decontaminated", s4.join(flagged, "doc_id", "left_anti")
+    )
     rows5 = s5.count()
     sec5 = round(time.perf_counter() - t0, 2)
     assert rows5 == n - 4 * cls, (rows5, n - 4 * cls)
@@ -353,7 +398,7 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     print(f"# shared/decontam_ngram: {stages['decontam_ngram']}",
           file=sys.stderr)
     flagged.unpersist()
-    s4.unpersist()
+    release(s4)
 
     # ---- stage 6: packing — lengths already carried as n_tokens
     t0 = time.perf_counter()
@@ -390,10 +435,13 @@ def run_shared_tokens_arm(spark, n: int, cls: int) -> dict:
     }
     print(f"# shared/pack_sequences: {stages['pack_sequences']}",
           file=sys.stderr)
-    s5.unpersist()
+    release(s5)
+    if stage_dir is not None:
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
     total = round(time.perf_counter() - t_total, 2)
     return {
+        "staging": staging,
         "stages": stages,
         "total_sec": total,
         "docs_per_sec_end_to_end": round(n / total),

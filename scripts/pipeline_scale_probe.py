@@ -15,13 +15,28 @@ point plus the scaling efficiency vs the 1M reference.
 
 Protocol: each point runs in a FRESH JVM (subprocess) so cache state
 never leaks between points, with the driver heap scaled 8 GB per 1M
-docs (SPARK_GRAFT_DRIVER_MEM, recorded per point) — the single-box
-stand-in for a cluster scaling executors with data; core count stays
-local[32] throughout, so perfect scaling is FLAT docs/s.
+docs and — under the default ``--partition-rule scaled`` — shuffle
+partitions scaled cores×(n/1M), both recorded per point. That pair
+is the single-box stand-in for a cluster scaling executors with
+data; core count stays local[32] throughout, so perfect scaling is
+FLAT docs/s.
+
+The partition rule is the sweep's own finding: at fixed 32 shuffle
+partitions the 4M point fell off the linear path (eff 0.67 — the
+window/shingle shuffles put ~12M rows of aggregation state in every
+task, which spills), and moving stage boundaries to parquet did NOT
+fix it (eff 0.72) — while scaling partitions to 128 restored
+eff 0.98 with the in-memory boundary. Per-task shuffle state must
+stay bounded; AQE's coalescer makes the extra partitions free on
+the small stages. Both fixed-32 runs stay in the artifact as the
+measured contrast, plus the four-way 4M adjudication
+(staging × partition rule).
 
 Usage: python scripts/pipeline_scale_probe.py
            [--points 1000000,2000000,4000000] [--quick]
-Writes PIPELINE_SCALE_PROBE.json at the repo root.
+           [--staging persist|parquet] [--partition-rule scaled|fixed]
+Writes PIPELINE_SCALE_PROBE.json at the repo root (merge-on-write:
+each invocation adds/replaces its labeled run).
 """
 
 from __future__ import annotations
@@ -40,21 +55,29 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def run_point(n: int, out_path: str) -> None:
+def run_point(n: int, out_path: str, staging: str) -> None:
     """Child mode: one sweep point in this (fresh) JVM."""
     from database_join_spark.hostinfo import host_snapshot
     from database_join_spark.session import get_spark
     from scripts.pipeline_e2e_probe import run_shared_tokens_arm
 
-    spark = get_spark(app_name=f"pipeline-scale-{n}")
+    sp_env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    spark = get_spark(
+        app_name=f"pipeline-scale-{n}",
+        shuffle_partitions=int(sp_env) if sp_env else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     rec = {
         "docs": n,
+        "staging": staging,
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
         "host_start": host_snapshot(),
     }
     t0 = time.perf_counter()
-    rec["arm"] = run_shared_tokens_arm(spark, n, n // 50)
+    rec["arm"] = run_shared_tokens_arm(spark, n, n // 50, staging=staging)
     rec["wall_sec"] = round(time.perf_counter() - t0, 2)
     rec["host_end"] = host_snapshot()
     Path(out_path).write_text(json.dumps(rec) + "\n")
@@ -72,12 +95,22 @@ def main() -> None:
         "--quick", action="store_true",
         help="50k/100k/200k smoke of the full harness",
     )
+    ap.add_argument(
+        "--staging", default="persist", choices=("persist", "parquet"),
+        help="stage-boundary medium (see run_shared_tokens_arm)",
+    )
+    ap.add_argument(
+        "--partition-rule", default="scaled",
+        choices=("scaled", "fixed"),
+        help="scaled: shuffle partitions = cores x (docs/1M); "
+             "fixed: the session default (cores)",
+    )
     ap.add_argument("--point", type=int, help="(internal) child mode")
     ap.add_argument("--out", help="(internal) child output path")
     args = ap.parse_args()
 
     if args.point:
-        run_point(args.point, args.out)
+        run_point(args.point, args.out, args.staging)
         return
 
     points = (
@@ -88,36 +121,51 @@ def main() -> None:
     for n in points:
         assert n % 50 == 0, "doc counts must be multiples of 50"
 
-    out: dict = {"points": [], "local_cores": int(
-        os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
-    )}
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    run: dict = {"points": []}
     for n in points:
         heap_gb = max(8, round(8 * n / 1_000_000))
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{heap_gb}g")
+        if args.partition_rule == "scaled":
+            env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(
+                max(cores, cores * round(n / 1_000_000))
+            )
         with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
             subprocess.run(
                 [sys.executable, __file__,
-                 "--point", str(n), "--out", tmp.name],
+                 "--point", str(n), "--out", tmp.name,
+                 "--staging", args.staging],
                 check=True, env=env, cwd=_REPO,
             )
             rec = json.loads(Path(tmp.name).read_text())
         rec["docs_per_sec"] = rec["arm"]["docs_per_sec_end_to_end"]
-        out["points"].append(rec)
+        run["points"].append(rec)
         print(f"# {n}: {rec['arm']['total_sec']} s, "
               f"{rec['docs_per_sec']} docs/s, heap {heap_gb}g",
               file=sys.stderr)
 
-    ref = out["points"][0]["docs_per_sec"]
-    for rec in out["points"]:
+    ref = run["points"][0]["docs_per_sec"]
+    for rec in run["points"]:
         rec["scaling_efficiency_vs_first"] = round(
             rec["docs_per_sec"] / ref, 3
         )
-    Path(_REPO, args.json).write_text(json.dumps(out, indent=1) + "\n")
+
+    # one artifact holds every staging arm: merge-on-write so the
+    # persist and parquet sweeps (separate invocations — each wants a
+    # quiet host) land side by side
+    artifact = Path(_REPO, args.json)
+    out = (
+        json.loads(artifact.read_text()) if artifact.exists() else {}
+    )
+    out["local_cores"] = cores
+    label = f"{args.staging}_{args.partition_rule}"
+    out.setdefault("runs", {})[label] = run
+    artifact.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps([
         {"docs": r["docs"], "total_sec": r["arm"]["total_sec"],
          "docs_per_sec": r["docs_per_sec"],
          "eff": r["scaling_efficiency_vs_first"]}
-        for r in out["points"]
+        for r in run["points"]
     ]))
 
 
