@@ -213,6 +213,51 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
     )
 
 
+#: Minimum token count a document must clear to enter the corpus —
+#: the same threshold the batch quality gate applies
+#: (queries/pipeline.py corpus_pipeline / PIPELINE_E2E_PROBE).
+INGEST_MIN_TOKENS = 20
+
+
+def corpus_ingest_dedup(stream: DataFrame) -> DataFrame:
+    """Streaming ingest front of the corpus pipeline (round 11): the
+    quality gate plus cross-batch exact dedup, over a document stream
+    ``(doc_id, text, ...)`` — the incremental-arrival shape of
+    ``corpus_pipeline``'s first two stages. A crawl never
+    re-deduplicates its corpus; each arriving batch is admitted only
+    where its content fingerprint has never been seen (the streaming
+    analogue of ``dedup_incremental``'s anti-join against the
+    fingerprint store).
+
+    Semantics: ``dropDuplicates`` on the 128-bit content fingerprint
+    with NO watermark — first ARRIVAL wins (arrival order IS the
+    dedup policy of an ingest pipeline; the batch library's min-id
+    survivor rule applies when ids, not arrival, define precedence).
+    State is therefore the full fingerprint store, growing with the
+    unique corpus — that is the honest cost of global exact dedup,
+    and exactly what the disk-backed RocksDB provider is for
+    (:data:`ROCKSDB_PROVIDER`; the in-memory provider caps at JVM
+    heap). Stateless stages downstream (decontamination against a
+    static benchmark set, packing) ride per-batch in ``foreachBatch``
+    — see scripts/stream_ingest_probe.py for the composed run with
+    planted per-day masses and batch-replay parity.
+
+    100 TB: state is (fp, doc payload) keyed by fingerprint, hash-
+    partitioned across the fleet like every state store; per-batch
+    work is one shuffle of the BATCH (not the corpus) on fp. The
+    fingerprint store never rewrites — RocksDB changelog checkpoints
+    append deltas only.
+    """
+    from database_join_spark.operators import text as T
+
+    return (
+        stream.withColumn("n_tokens", T.token_count("text"))
+        .filter(F.col("n_tokens") >= INGEST_MIN_TOKENS)
+        .withColumn("fp", T.fingerprint("text"))
+        .dropDuplicates(["fp"])
+    )
+
+
 def click_to_purchase_join(stream: DataFrame) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's clicks in the preceding 24 h.

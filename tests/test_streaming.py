@@ -212,6 +212,74 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get("2024-01-01 11:00:00") == 2, got
 
 
+def test_corpus_ingest_dedup_stream_equals_batch(spark, tmp_path):
+    """Streaming ingest front of the corpus pipeline (round 11):
+    quality gate + cross-batch exact dedup must admit exactly one doc
+    per unique GATED fingerprint, first arrival winning across
+    micro-batches. The fingerprint set is the parity key against the
+    batch replay — which doc_id of a same-batch duplicate pair
+    survives is arrival order, so doc_ids are asserted only where
+    batching makes them deterministic (the cross-batch loser)."""
+    import time as _time
+
+    from database_join_spark.operators import text as T
+
+    long_a = " ".join(f"a{i}" for i in range(30))
+    long_b = " ".join(f"b{i}" for i in range(30))
+    long_c = " ".join(f"c{i}" for i in range(30))
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def write_day(sub: str, rows: list[tuple[int, str]]) -> None:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING"
+        ).coalesce(1).write.parquet(str(src / sub))
+        _time.sleep(1.1)  # file-source batches order by mod time
+
+    write_day("d0", [(1, long_a), (2, long_a),     # same-batch dup
+                     (3, long_b), (4, "too short")])
+    write_day("d1", [(5, long_a),                  # cross-batch dup
+                     (6, long_c)])
+
+    out = str(tmp_path / "ingested")
+    q = (
+        ST.corpus_ingest_dedup(
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 4 not in admitted                  # quality-gated
+    assert 5 not in admitted                  # cross-batch duplicate
+    assert {3, 6} <= admitted                 # unique docs admitted
+    assert len(admitted & {1, 2}) == 1        # one same-batch survivor
+    assert len(admitted) == 3
+    # fingerprint parity with the batch replay: gate → distinct fp
+    batch_fps = {
+        r.fp
+        for r in spark.read.parquet(f"{src}/*")
+        .withColumn("n_tokens", T.token_count("text"))
+        .filter("n_tokens >= 20")
+        .select(T.fingerprint("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    stream_fps = {
+        r.fp for r in spark.read.parquet(out).select("fp").collect()
+    }
+    assert stream_fps == batch_fps
+
+
 def test_foreach_batch_upsert_equals_batch(spark, tmp_path):
     """The foreachBatch keyed-upsert sink must converge to the batch
     group-by after replaying the finite stream."""
