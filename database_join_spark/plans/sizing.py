@@ -563,3 +563,51 @@ def applied(spark: SparkSession, sizing: AggSizing):
         yield sizing
     finally:
         spark.conf.set(_CAP_BIT_CONF, old)
+
+
+#: Healthy per-task row bound for a shuffled aggregation/window pass,
+#: calibrated by the composed-pipeline scale sweep
+#: (PIPELINE_SCALE_PROBE.json, round 11): ~2.9M rows of per-task
+#: state ran linear at BOTH sweep extremes (93M window rows / 32
+#: tasks at 1M docs, 372M / 128 at 4M), while ~11.6M rows per task
+#: (372M over the session's fixed 32) spilled inside the dominant
+#: stages and cost 1.5× end-to-end — with parquet stage boundaries
+#: explicitly measured as NO rescue (the fall-off is in-stage). The
+#: measured entries were ~20-byte (key, id, pos) rows; treat the
+#: bound as order-of-magnitude calibration, wider rows want fewer.
+SHUFFLE_ROWS_PER_TASK = 3_000_000
+
+
+def shuffle_partitions_for(
+    input_rows: int,
+    cores: int,
+    rows_per_task: int = SHUFFLE_ROWS_PER_TASK,
+) -> int:
+    """Initial shuffle-partition count for a stage whose exchange
+    carries ``input_rows`` rows: enough partitions that no task
+    aggregates more than ``rows_per_task`` of state, never fewer
+    than ``cores``, rounded up to a multiple of ``cores`` so task
+    waves divide evenly.
+
+    The rule the scale sweep distilled (round 11): size initial
+    shuffle partitions to BOUND PER-TASK STATE, never to match
+    cores. The session default (partitions == cores) is right for
+    fixture-scale latency but silently becomes the bottleneck as
+    input grows past cores × rows_per_task — on a real cluster this
+    knob turns itself when executors scale with data; a fixed fleet
+    must turn it by hand. Over-provisioning is one-sided cheap:
+    AQE's coalescer (on in this engine's sessions) merges small
+    partitions at runtime, so the cost of too many is ~zero while
+    the cost of too few is measured at 1.5× and growing with n
+    (PIPELINE_SCALE_PROBE's four-way 4M adjudication). Apply via
+    ``spark.conf.set("spark.sql.shuffle.partitions", ...)`` before
+    the stage, or ``get_spark(shuffle_partitions=...)`` at build.
+
+    Reference parity: the same estimate-before-execute discipline as
+    the FM-presized aggregate table (q4112.c:336-377) — here the
+    estimate sizes the exchange instead of the hash table.
+    """
+    import math
+
+    need = max(cores, math.ceil(input_rows / max(1, rows_per_task)))
+    return cores * math.ceil(need / cores)

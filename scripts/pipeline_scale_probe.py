@@ -30,7 +30,9 @@ eff 0.98 with the in-memory boundary. Per-task shuffle state must
 stay bounded; AQE's coalescer makes the extra partitions free on
 the small stages. Both fixed-32 runs stay in the artifact as the
 measured contrast, plus the four-way 4M adjudication
-(staging × partition rule).
+(staging × partition rule). The rule is encoded in the planner as
+``plans.sizing.shuffle_partitions_for`` (calibration pinned in
+tests/test_sizing.py to this sweep's points).
 
 Usage: python scripts/pipeline_scale_probe.py
            [--points 1000000,2000000,4000000] [--quick]

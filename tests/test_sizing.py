@@ -382,3 +382,39 @@ def test_broadcast_budget_pinned_to_session_and_live_conf(spark):
         assert plan_skewjoin(fact, "k", dim).strategy != "broadcast"
     finally:
         spark.conf.set(key, old)
+
+
+def test_shuffle_partitions_for_bounds_per_task_state():
+    """The scale-sweep rule (round 11, PIPELINE_SCALE_PROBE): initial
+    shuffle partitions bound per-task state, floor at cores, rounded
+    to a cores multiple. The pins reproduce the sweep's own points —
+    93M window rows at 1M docs stayed at 32 (the linear point), 372M
+    at 4M demands 128 (the measured winning arm), and the fixed-32
+    spelling at 4M is exactly what the sweep measured costing 1.5×."""
+    from database_join_spark.plans.sizing import (
+        SHUFFLE_ROWS_PER_TASK,
+        shuffle_partitions_for,
+    )
+
+    # the sweep's calibration points (cores=32)
+    assert shuffle_partitions_for(93_000_000, 32) == 32
+    assert shuffle_partitions_for(186_000_000, 32) == 64
+    assert shuffle_partitions_for(372_000_000, 32) == 128
+    # floor: tiny inputs never drop below one task per core
+    assert shuffle_partitions_for(0, 32) == 32
+    assert shuffle_partitions_for(1, 32) == 32
+    # cores-multiple rounding: whole task waves
+    assert shuffle_partitions_for(100_000_000, 32) % 32 == 0
+    assert shuffle_partitions_for(100_000_000, 24) % 24 == 0
+    # monotone in input, antitone in the per-task budget
+    assert (
+        shuffle_partitions_for(800_000_000, 32)
+        >= shuffle_partitions_for(400_000_000, 32)
+    )
+    assert (
+        shuffle_partitions_for(400_000_000, 32, rows_per_task=1_000_000)
+        >= shuffle_partitions_for(400_000_000, 32)
+    )
+    # degenerate budget guard
+    assert shuffle_partitions_for(1000, 32, rows_per_task=0) >= 32
+    assert SHUFFLE_ROWS_PER_TASK == 3_000_000
