@@ -56,7 +56,34 @@ def _run_once(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def _throughput(spark) -> dict[str, float]:
+def _wait_for_quiet(
+    load1_max: float = 2.0, max_wait_sec: int = 180
+) -> dict:
+    """Bounded wait for a quiet host before the headline reference
+    rows (VERDICT r11 Missing #3: the r11 driver capture started at
+    load1 3.99 climbing to 29.4 and the record rows carried the
+    contention with no protocol defense). Polls 1-minute loadavg
+    every 15 s until it drops under ``load1_max`` or the budget runs
+    out; either way the decision is RECORDED in the artifact so an
+    adjudicator sees whether the capture waited, for how long, and
+    what load it finally ran under."""
+    import time as _time
+
+    waited = 0
+    load1 = os.getloadavg()[0]
+    while load1 > load1_max and waited < max_wait_sec:
+        _time.sleep(15)
+        waited += 15
+        load1 = os.getloadavg()[0]
+    return {
+        "load1_max_rule": load1_max,
+        "waited_sec": waited,
+        "load1_at_capture": round(load1, 2),
+        "quiet": load1 <= load1_max,
+    }
+
+
+def _throughput(spark, headline_only: bool = False) -> dict[str, float]:
     """Reference-workload throughput: the q4112 Part-1/Part-2 queries
     at the reference's own scale (1e9 outer tuples, generated — no
     IO), directly comparable to BASELINE.md's G-tuples/s figures.
@@ -122,6 +149,14 @@ def _throughput(spark) -> dict[str, float]:
             THROUGHPUT_ROWS / sec / 1e9, 4
         )
         print(f"# {name}: {sec:.2f} s {runs}", file=sys.stderr)
+
+    # headline_only (round 12, VERDICT r11 Missing #3): the SF-only
+    # sidecar now carries the two ~1-s record rows too, so the
+    # headline ratios gain the same same-day quiet control the sf0.1
+    # fixture rows already had — at ~30 s of extra sidecar cost,
+    # skipping the 15-min large-inner/bucketed sections below.
+    if headline_only:
+        return out
 
     # Large-inner regime (VERDICT r02 #8): inner = 1e7 at 1/10th the
     # outer rows, SHUFFLE_HASH build — the shape where the reference's
@@ -528,12 +563,19 @@ def main() -> None:
     # itself had built up. The sf-fixture set follows; its
     # round-over-round comparisons already read the per-section host
     # blocks (drift-adjudication protocol).
-    # BENCH_SF_ONLY=1: capture just the sf-fixture section — the
-    # cheap (~3 min) control the drift-adjudication protocol needs
-    # (VERDICT r08 #7); a full capture re-times the 1e9-row section
-    # for 15+ min on a box whose state the control is trying to pin.
+    # BENCH_SF_ONLY=1: capture the sf-fixture section plus ONLY the
+    # two headline reference rows — the cheap (~3-4 min) control the
+    # drift-adjudication protocol needs (VERDICT r08 #7, extended
+    # r12 per VERDICT r11 Missing #3 so the record rows have a
+    # same-day control too); a full capture re-times the 1e9-row
+    # section for 15+ min on a box whose state the control is
+    # trying to pin.
+    # Quiet-window rule (VERDICT r11 #3): both capture modes wait
+    # (bounded) for load1 <= 2 before the timed sections and record
+    # the outcome — a capture that ran hot says so in the artifact.
+    quiet = _wait_for_quiet()
     if os.environ.get("BENCH_SF_ONLY", "0") == "1":
-        throughput = {}
+        throughput = _throughput(spark, headline_only=True)
     else:
         throughput = _throughput(spark)
     host_mid = host_snapshot()
@@ -590,6 +632,8 @@ def main() -> None:
             "start": _slim_host(host_start),
             "mid": _slim_host(host_mid),
             "end": _slim_host(host_end),
+            # compact: full decision dict in BENCH_FULL.json
+            "quiet": [quiet["waited_sec"], quiet["load1_at_capture"]],
         },
         "full_artifact": "BENCH_FULL.json",
     }
@@ -600,6 +644,7 @@ def main() -> None:
         "start": host_start,
         "mid_after_reference_workload": host_mid,
         "end": host_end,
+        "quiet_window": quiet,
     }
     scaling = Path(_REPO) / "THREAD_SCALING.json"
     if scaling.exists():

@@ -522,7 +522,9 @@ def lsh_topk(
 # k-means clustering (exact fixed-point) — topic/style bucketing
 # --------------------------------------------------------------------------
 def kmeans_assign(
-    base: DataFrame, centroids: list[list[int]]
+    base: DataFrame,
+    centroids: list[list[int]],
+    impl: str = "auto",
 ) -> DataFrame:
     """Assign every row of ``base`` (columns ``id``, ``qv`` — a
     quantized int64 vector from :func:`_quant`) to its nearest
@@ -534,8 +536,17 @@ def kmeans_assign(
     q7-quantized coordinates (diff ≤ 2·10⁷, square ≤ 4·10¹⁴, ×64
     dims ≈ 2.6·10¹⁶ < 2⁶³). ``array_position(…, array_min(…))``
     takes the FIRST minimum, so distance ties break to the lowest
-    cluster index deterministically.
+    cluster index deterministically. ``impl`` as in
+    :func:`kmeans_assign_topm`: past :data:`LITERAL_ASSIGN_MAX_K`
+    centroids ``"auto"`` switches to the bit-identical
+    broadcast/GEMM spelling (:func:`kmeans_assign_np`).
     """
+    if impl not in ("auto", "literal", "np"):
+        raise ValueError(f"impl must be auto|literal|np, got {impl!r}")
+    if impl == "np" or (
+        impl == "auto" and len(centroids) > LITERAL_ASSIGN_MAX_K
+    ):
+        return kmeans_assign_np(base, centroids)
     dists = F.array(
         *[
             F.aggregate(
@@ -566,6 +577,7 @@ def kmeans_fit(
     k: int = 10,
     iterations: int = 5,
     track_inertia: bool = False,
+    assign_impl: str = "auto",
 ) -> tuple[DataFrame, list[list[int]], list[int]]:
     """Lloyd's k-means over an embedding column in EXACT fixed-point
     integer arithmetic — every distance, assignment, and centroid
@@ -602,7 +614,7 @@ def kmeans_fit(
     k = min(k, len(cents))
     history: list[int] = []
     for _ in range(iterations):
-        assigned = kmeans_assign(base, cents)
+        assigned = kmeans_assign(base, cents, impl=assign_impl)
         if track_inertia:
             history.append(
                 int(
@@ -634,7 +646,230 @@ def kmeans_fit(
             else cents[j]
             for j in range(k)
         ]
-    return kmeans_assign(base, cents), cents, history
+    return kmeans_assign(base, cents, impl=assign_impl), cents, history
+
+
+def _snap_ratio(ratio: float) -> tuple[int, int]:
+    """Snap an adaptive-probe ratio to an exact small fraction p/q
+    (q ≤ 8) for the int64 boundary comparison ``d²_j·q ≤ d²_min·p``.
+    Refuses a silent snap (ADVICE r09: 1.1 would become 9/8 = 1.125
+    with no signal beyond the docstring)."""
+    from fractions import Fraction
+
+    if ratio < 1.0:
+        raise ValueError(f"ratio must be >= 1, got {ratio}")
+    frac = Fraction(ratio).limit_denominator(8)
+    p, q = frac.numerator, frac.denominator
+    if abs(p / q - ratio) > 1e-9:
+        raise ValueError(
+            f"ratio={ratio} is not exactly representable with "
+            f"denominator <= 8 (nearest {p}/{q} = {p / q}); pass "
+            f"one that is (e.g. 1.25, 1.5, 9/8 = 1.125)"
+        )
+    return p, q
+
+
+#: Largest k the literal-centroid assign spelling stays the default
+#: for. The literal path rides k·dim int64 constants into the plan —
+#: plan-visible, zero Python, ideal at fixture k — but the expression
+#: tree grows O(k·dim) and the per-row fold costs the same O(k·dim)
+#: WITHOUT BLAS, so past ~64 centroids the Arrow/GEMM assign
+#: (:func:`kmeans_assign_topm_np`) is both the faster and the only
+#: plan-size-viable spelling (k_for(1M) ≈ hundreds; SemDeDup's
+#: LAION recipe is 110k clusters — a literal plan cannot carry that).
+LITERAL_ASSIGN_MAX_K = 64
+
+
+def _np_sqdists(q, cents, n2c):
+    """Exact int64 squared-distance matrix between batch rows ``q``
+    (b×dim int64) and centroids ``cents`` (k×dim int64):
+    d²[i,j] = |q_i|² + |c_j|² − 2·q_i·c_j. The cross-dot runs as a
+    float64 GEMM when every partial sum provably stays an integer
+    ≤ 2^53 (dim·amax² bound — the same guard as
+    :func:`_block_scorer`), else as an int64 matmul (no BLAS, still
+    exact to 2^63); the combine is int64 either way."""
+    import numpy as np
+
+    dim = q.shape[1]
+    amax = int(max(np.abs(q).max(initial=0), np.abs(cents).max(initial=0)))
+    if dim * amax * amax < (1 << 53):
+        dot = (
+            q.astype(np.float64) @ cents.T.astype(np.float64)
+        ).astype(np.int64)
+    else:
+        dot = q @ cents.T
+    n2q = np.einsum("ij,ij->i", q, q)
+    return n2q[:, None] + n2c[None, :] - 2 * dot
+
+
+#: Cell budget for one tiled distance matrix in the Arrow assign:
+#: ≤ 2^24 int64 cells (128 MiB) per (row-chunk × k) block — the same
+#: discipline as :data:`_GEMM_TILE_CELLS`; without it a 10k-row Arrow
+#: batch against k=10000 centroids materializes an 800 MB matrix PER
+#: WORKER and the assign drowns in allocation churn (measured on the
+#: round-12 k-ladder).
+_ASSIGN_TILE_CELLS = 1 << 24
+
+
+def _topm_exact(d2, m):
+    """Top-m column indices per row of ``d2``, ordered exactly like
+    ``argsort(kind='stable')`` — ascending (value, index) — without
+    paying a full-row sort: ``argpartition`` selects the m smallest
+    in O(k) (measured 5.7× cheaper than the stable argsort at
+    k=3162 on the round-12 ladder), a 4-element lexsort orders them,
+    and the rare rows where the selection boundary TIES (argpartition
+    makes no stability promise among equal values) fall back to the
+    stable sort so the emitted set is bit-identical to the literal
+    plan's ``array_sort`` in every case. Returns ``(order,
+    sorted_d)`` with shapes (rows, m).
+    """
+    import numpy as np
+
+    k = d2.shape[1]
+    if m >= k:
+        order = np.argsort(d2, axis=1, kind="stable")
+        return order, np.take_along_axis(d2, order, axis=1)
+    sel = np.argpartition(d2, m - 1, axis=1)[:, :m]
+    selv = np.take_along_axis(d2, sel, axis=1)
+    # stable (value, index) order within the selected m
+    ord_in = np.lexsort((sel, selv), axis=1)
+    order = np.take_along_axis(sel, ord_in, axis=1)
+    sorted_d = np.take_along_axis(selv, ord_in, axis=1)
+    # boundary ties: a value equal to the m-th smallest may sit
+    # outside the partition — resolve those rows the slow way
+    thresh = sorted_d[:, -1]
+    tied = np.nonzero((d2 <= thresh[:, None]).sum(axis=1) > m)[0]
+    for i in tied:
+        row = np.argsort(d2[i], kind="stable")[:m]
+        order[i] = row
+        sorted_d[i] = d2[i, row]
+    return order, sorted_d
+
+
+def kmeans_assign_topm_np(
+    base: DataFrame,
+    centroids: list[list[int]],
+    m: int,
+    ratio: float | None = None,
+) -> DataFrame:
+    """Arrow/GEMM spelling of :func:`kmeans_assign_topm` — identical
+    output bit-for-bit (pinned by tests/test_pipeline.py), built for
+    the k the literal plan cannot carry (k_for(n) grows with the
+    corpus; the literal expression tree is O(k·dim) PER ROW of plan
+    and fold cost).
+
+    The k×dim centroid matrix ships once per executor as a Spark
+    broadcast (NOT in the task closure — at SemDeDup's LAION-scale
+    110k clusters the matrix is ~56 MB), and each Arrow batch scores
+    against it with one exact GEMM (:func:`_np_sqdists`). Top-m
+    selection is ``argsort(kind='stable')`` — ties break to the
+    lowest cluster index, the same (distance, index) struct order as
+    the literal ``array_sort`` spelling. The adaptive-``ratio``
+    filter is the identical int64 comparison (``d²·q ≤ d²_min·p``,
+    :func:`_snap_ratio`); because the m candidate distances come out
+    sorted ascending, the keep-mask is a per-row prefix and the
+    nearest centroid always survives.
+
+    Same map-only shape as the literal path: no shuffle, one
+    exploded (id, qv, block) row per surviving probe.
+    """
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    pq = None if ratio is None else _snap_ratio(ratio)
+    cents = np.asarray(centroids, dtype=np.int64)
+    n2c = np.einsum("ij,ij->i", cents, cents)
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast((cents, n2c))
+
+    k = len(centroids)
+    tile_rows = max(1, _ASSIGN_TILE_CELLS // max(1, k))
+
+    def assign(batches):
+        import pandas as pd
+
+        C, n2C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv_obj = pdf["qv"].to_numpy()
+            ids_all = pdf["id"].to_numpy()
+            for lo in range(0, len(pdf), tile_rows):
+                sl = slice(lo, min(lo + tile_rows, len(pdf)))
+                q = np.stack(qv_obj[sl]).astype(np.int64, copy=False)
+                d2 = _np_sqdists(q, C, n2C)
+                order, sorted_d = _topm_exact(d2, m)
+                if pq is None:
+                    row_idx = np.repeat(
+                        np.arange(len(q)), order.shape[1]
+                    )
+                    blocks = order.ravel() + 1
+                else:
+                    p, qd = pq
+                    keep = sorted_d * qd <= sorted_d[:, :1] * p
+                    row_idx = np.repeat(
+                        np.arange(len(q)), keep.sum(axis=1)
+                    )
+                    blocks = order[keep] + 1
+                yield pd.DataFrame(
+                    {
+                        "id": ids_all[sl][row_idx],
+                        "qv": qv_obj[sl][row_idx],
+                        "block": blocks.astype(np.int32),
+                    }
+                )
+
+    return base.select("id", "qv").mapInPandas(
+        assign, schema="id long, qv array<long>, block int"
+    )
+
+
+def kmeans_assign_np(
+    base: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Arrow/GEMM spelling of :func:`kmeans_assign` (nearest-centroid
+    + exact sqdist), bit-identical output — the fit-loop twin of
+    :func:`kmeans_assign_topm_np` for k past
+    :data:`LITERAL_ASSIGN_MAX_K`. ``argmin`` on the exact int64
+    distance row takes the FIRST minimum, matching the literal
+    path's ``array_position(dists, array_min(dists))`` tiebreak."""
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    cents = np.asarray(centroids, dtype=np.int64)
+    n2c = np.einsum("ij,ij->i", cents, cents)
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast((cents, n2c))
+
+    k = len(centroids)
+    tile_rows = max(1, _ASSIGN_TILE_CELLS // max(1, k))
+
+    def assign(batches):
+        import pandas as pd
+
+        C, n2C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv_obj = pdf["qv"].to_numpy()
+            ids_all = pdf["id"].to_numpy()
+            for lo in range(0, len(pdf), tile_rows):
+                sl = slice(lo, min(lo + tile_rows, len(pdf)))
+                q = np.stack(qv_obj[sl]).astype(np.int64, copy=False)
+                d2 = _np_sqdists(q, C, n2C)
+                nearest = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": ids_all[sl],
+                        "qv": qv_obj[sl],
+                        "cluster": (nearest + 1).astype(np.int32),
+                        "sqdist": d2[np.arange(len(q)), nearest],
+                    }
+                )
+
+    return base.select("id", "qv").mapInPandas(
+        assign, schema="id long, qv array<long>, cluster int, sqdist long"
+    )
 
 
 def kmeans_assign_topm(
@@ -642,6 +877,7 @@ def kmeans_assign_topm(
     centroids: list[list[int]],
     m: int,
     ratio: float | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Multi-probe cluster assignment: one exploded row per (vector,
     block) for the vector's ``m`` NEAREST centroids — the blocking
@@ -666,8 +902,19 @@ def kmeans_assign_topm(
     2.6e16·8 ≈ 2.1e17 < 2⁶³, so no float rounding at the decision
     boundary. The nearest centroid always qualifies (d²·q ≤ d²·p
     for p ≥ q), so every vector keeps at least its home block.
+
+    ``impl``: ``"literal"`` forces the literal-centroid JVM plan,
+    ``"np"`` the broadcast/GEMM Arrow spelling
+    (:func:`kmeans_assign_topm_np` — bit-identical output),
+    ``"auto"`` picks np past :data:`LITERAL_ASSIGN_MAX_K` centroids
+    (where the literal expression tree stops being viable and BLAS
+    wins the O(k·dim)-per-row fold).
     """
     k = len(centroids)
+    if impl not in ("auto", "literal", "np"):
+        raise ValueError(f"impl must be auto|literal|np, got {impl!r}")
+    if impl == "np" or (impl == "auto" and k > LITERAL_ASSIGN_MAX_K):
+        return kmeans_assign_topm_np(base, centroids, m, ratio)
     dists = F.array(
         *[
             F.aggregate(
@@ -688,21 +935,7 @@ def kmeans_assign_topm(
     if ratio is None:
         blocks = f"transform({top_m}, s -> CAST(s['1'] AS INT))"
     else:
-        from fractions import Fraction
-
-        if ratio < 1.0:
-            raise ValueError(f"ratio must be >= 1, got {ratio}")
-        frac = Fraction(ratio).limit_denominator(8)
-        p, q = frac.numerator, frac.denominator
-        # The int64 filter needs a small exact fraction; refuse a
-        # silent snap (ADVICE r09: 1.1 would become 9/8 = 1.125 with
-        # no signal beyond the docstring).
-        if abs(p / q - ratio) > 1e-9:
-            raise ValueError(
-                f"ratio={ratio} is not exactly representable with "
-                f"denominator <= 8 (nearest {p}/{q} = {p / q}); pass "
-                f"one that is (e.g. 1.25, 1.5, 9/8 = 1.125)"
-            )
+        p, q = _snap_ratio(ratio)
         blocks = (
             f"transform(filter(top_m, s -> s['dists'] * {q}L <= "
             f"top_m[0]['dists'] * {p}L), s -> CAST(s['1'] AS INT))"
@@ -796,7 +1029,18 @@ def semdedup_pairs(
     base = emb.select(
         F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
     )
-    blocks = kmeans_assign_topm(base, cents, m=m, ratio=ratio)
+    # Persisted: the blocks frame is consumed twice (the size census
+    # below + the chunk-pair join), and without the cache boundary
+    # the ENTIRE assign — k·dim distance work per vector — runs
+    # twice. Negligible at fixture k, but at k_for(n) scale the
+    # assign is a real phase (round-12 ladder) and paying it once is
+    # the point; MEMORY_AND_DISK so a large corpus degrades to spill,
+    # not recompute.
+    from pyspark import StorageLevel
+
+    blocks = kmeans_assign_topm(base, cents, m=m, ratio=ratio).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Chunk-pair parallelism: one task per BLOCK serializes on a
     # skewed cluster (measured: a straggler block pinned the 300k
     # probe arm to one core for 15+ min while 31 sat idle). Blocks

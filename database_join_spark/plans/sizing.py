@@ -609,5 +609,56 @@ def shuffle_partitions_for(
     """
     import math
 
+    if cores < 1:
+        raise ValueError(f"cores must be >= 1, got {cores}")
     need = max(cores, math.ceil(input_rows / max(1, rows_per_task)))
     return cores * math.ceil(need / cores)
+
+
+#: Target MEAN block rows for SemDeDup's k-means blocking, calibrated
+#: by the round-12 k-ladder at 1M vectors (SEMDEDUP_KLADDER_PROBE.json):
+#: the pair sweep costs ~(expansion·n)²/k pair scores, so bounding
+#: mean block rows (expansion·n/k) bounds the per-block quadratic —
+#: the ladder measured the wall falling monotonically with k at
+#: UNCHANGED planted recall (the ratio-capped multi-probe carries the
+#: boundary pairs regardless of cell size), flattening once blocks
+#: drop under ~1–2k rows where fit+assign (linear in k·n) start to
+#: pay back the sweep's savings.
+SEMDEDUP_TARGET_BLOCK_ROWS = 1_500
+
+#: Measured blocking expansion (block rows per corpus vector) under
+#: the shipped ratio-capped probing (m=4, ratio=1.5):
+#: SEMDEDUP_STAGEWALL_PROBE.json counted 763,845 block rows for
+#: 505,000 vectors (1.51×); the k-ladder re-measured ~1.5× at every
+#: rung, so the factor is k-insensitive.
+SEMDEDUP_BLOCK_EXPANSION = 1.5
+
+
+def k_for(
+    n_vectors: int,
+    target_block_rows: int = SEMDEDUP_TARGET_BLOCK_ROWS,
+    expansion: float = SEMDEDUP_BLOCK_EXPANSION,
+) -> int:
+    """Centroid count for SemDeDup blocking over ``n_vectors``:
+    enough clusters that the MEAN block holds at most
+    ``target_block_rows`` rows, so the within-block pair sweep —
+    Σ|block|² ≈ (expansion·n)²/k, the measured 78% of the 1M wall
+    (SEMDEDUP_STAGEWALL_PROBE.json) — scales LINEARLY with n
+    instead of quadratically. The r11-default k = n/10k froze block
+    size at ~15k rows, which holds the quadratic term's growth
+    linear-in-n forever: the round-12 ladder measured that rung at
+    2.9× the wall of this rule's k at identical recall 1.0.
+
+    k ∝ n is the SemDeDup paper's own recipe (110k clusters for
+    LAION-440M ≈ 4k vectors/cluster); this encodes it beside the
+    planner's other measured rules (:func:`shuffle_partitions_for`,
+    :func:`decide`) — the reference's estimate-before-execute
+    discipline (q4112.c:336-377) applied to the blocking structure
+    constant instead of the hash-table size. Floor of 10 keeps
+    fixture-scale fits non-degenerate; recall is protected by the
+    ratio-capped multi-probe, not by block size (measured flat at
+    1.0 across the whole ladder).
+    """
+    import math
+
+    return max(10, math.ceil(expansion * n_vectors / target_block_rows))

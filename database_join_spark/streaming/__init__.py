@@ -233,6 +233,14 @@ def corpus_ingest_dedup(stream: DataFrame) -> DataFrame:
     with NO watermark — first ARRIVAL wins (arrival order IS the
     dedup policy of an ingest pipeline; the batch library's min-id
     survivor rule applies when ids, not arrival, define precedence).
+    "Exact" is exact ON THE FINGERPRINT, and the fingerprint is the
+    library's order-insensitive normalization (md5 over the sorted
+    DISTINCT token set, ``operators/text.fingerprint`` — see its
+    caveat): two documents with the same token set but different
+    order or multiplicity collapse to one. That is the same key
+    ``corpus_pipeline``'s batch stage dedups on (the ingest/batch
+    parity the probe asserts depends on it); byte-exact identity
+    would key on ``md5(text)`` instead.
     State is therefore the full fingerprint store, growing with the
     unique corpus — that is the honest cost of global exact dedup,
     and exactly what the disk-backed RocksDB provider is for

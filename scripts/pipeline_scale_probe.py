@@ -129,8 +129,17 @@ def main() -> None:
         heap_gb = max(8, round(8 * n / 1_000_000))
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{heap_gb}g")
         if args.partition_rule == "scaled":
+            # The planner rule this very sweep calibrated (ADVICE
+            # r11: don't re-spell it inline and let probe and
+            # planner drift). The dominant exchange is the window-
+            # key groupBy at ~93 window rows per doc (the sweep's
+            # measured 93M rows at 1M docs).
+            from database_join_spark.plans.sizing import (
+                shuffle_partitions_for,
+            )
+
             env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(
-                max(cores, cores * round(n / 1_000_000))
+                shuffle_partitions_for(n * 93, cores)
             )
         with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
             subprocess.run(

@@ -643,6 +643,61 @@ def test_kmeans_assign_topm_matches_numpy_stable_argsort(spark):
         kmeans_assign_topm(base, cents, m=m, ratio=1.1)
 
 
+def test_kmeans_assign_np_bit_parity_with_literal(spark):
+    """The broadcast/GEMM Arrow assign (round 12 — the spelling that
+    carries k_for(n)'s thousands of centroids where the literal
+    O(k·dim) expression tree cannot) must be BIT-IDENTICAL to the
+    literal-centroid plan: same top-m sets, same adaptive-ratio
+    filter decisions, same nearest/sqdist, same fit centroids. Any
+    divergence means the k-ladder measured a different operator than
+    the one that ships."""
+    from database_join_spark.catalog import table
+    from database_join_spark.operators.similarity import (
+        _quant,
+        kmeans_assign,
+        kmeans_assign_topm,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    _, cents, _ = kmeans_fit(emb, k=12, iterations=2)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(_quant("embedding")).alias("qv"),
+    )
+    for ratio in (None, 1.5):
+        lit = {
+            (r["id"], r["block"])
+            for r in kmeans_assign_topm(
+                base, cents, m=4, ratio=ratio, impl="literal"
+            ).collect()
+        }
+        arrw = {
+            (r["id"], r["block"])
+            for r in kmeans_assign_topm(
+                base, cents, m=4, ratio=ratio, impl="np"
+            ).collect()
+        }
+        assert lit == arrw
+    lit_n = {
+        r["id"]: (r["cluster"], r["sqdist"])
+        for r in kmeans_assign(base, cents, impl="literal").collect()
+    }
+    np_n = {
+        r["id"]: (r["cluster"], r["sqdist"])
+        for r in kmeans_assign(base, cents, impl="np").collect()
+    }
+    assert lit_n == np_n
+    # the whole FIT under the np assign lands on the same centroids
+    _, cents_np, _ = kmeans_fit(
+        emb, k=12, iterations=2, assign_impl="np"
+    )
+    assert cents_np == cents
+    with pytest.raises(ValueError, match="impl must be"):
+        kmeans_assign_topm(base, cents, m=4, impl="gpu")
+
+
 def test_kmeans_fit_clamps_k_to_row_count(spark):
     """k larger than the input row count must degrade gracefully
     (every row its own cluster) instead of IndexError in the
@@ -868,3 +923,30 @@ def test_semdedup_coarse_score_identical(spark):
         ).alias("embedding"),
     )
     assert pairs(scaled, 0.4, coarse_score=True) == pairs(scaled, 0.4)
+
+
+def test_topm_exact_matches_stable_argsort_under_ties():
+    """_topm_exact (round 12: the argpartition fast path behind
+    kmeans_assign_topm_np) must equal argsort(kind='stable')[:, :m]
+    on EVERY input — including planted exact distance ties at and
+    across the selection boundary, where argpartition alone makes no
+    stability promise."""
+    import numpy as np
+
+    from database_join_spark.operators.similarity import _topm_exact
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        rows, k, m = 17, 23, 4
+        # small value alphabet → dense exact ties
+        d2 = rng.integers(0, 6, size=(rows, k)).astype(np.int64)
+        order, sorted_d = _topm_exact(d2, m)
+        ref = np.argsort(d2, axis=1, kind="stable")[:, :m]
+        assert (order == ref).all(), (trial, d2[0])
+        assert (
+            sorted_d == np.take_along_axis(d2, ref, axis=1)
+        ).all()
+    # m >= k degenerate: full stable order
+    d2 = rng.integers(0, 3, size=(5, 3)).astype(np.int64)
+    order, _ = _topm_exact(d2, 8)
+    assert (order == np.argsort(d2, axis=1, kind="stable")).all()

@@ -418,3 +418,101 @@ def test_shuffle_partitions_for_bounds_per_task_state():
     # degenerate budget guard
     assert shuffle_partitions_for(1000, 32, rows_per_task=0) >= 32
     assert SHUFFLE_ROWS_PER_TASK == 3_000_000
+    # degenerate cores guard (ADVICE r11): raise, don't divide by zero
+    import pytest
+
+    with pytest.raises(ValueError, match="cores"):
+        shuffle_partitions_for(1000, 0)
+    with pytest.raises(ValueError, match="cores"):
+        shuffle_partitions_for(1000, -4)
+
+
+def test_k_for_bounds_mean_block_rows():
+    """The SemDeDup blocking rule (round 12, SEMDEDUP_KLADDER_PROBE):
+    k ∝ n with mean block rows bounded — the pair sweep Σ|block|² ≈
+    (expansion·n)²/k then scales linearly with n instead of the r11
+    default k=n/10k freezing block size (quadratic term linear-in-n
+    forever). Pins the calibration constants so a drive-by edit of
+    the target re-runs the ladder, not just the unit suite."""
+    from database_join_spark.plans.sizing import (
+        SEMDEDUP_BLOCK_EXPANSION,
+        SEMDEDUP_TARGET_BLOCK_ROWS,
+        k_for,
+    )
+
+    # floor: fixture-scale corpora keep a non-degenerate fit
+    assert k_for(0) == 10
+    assert k_for(500) == 10
+    # k grows linearly with n (±ceil rounding)
+    assert k_for(2_000_000) >= 2 * k_for(1_000_000) - 1
+    # mean block rows never exceed the target (the rule's contract)
+    for n in (10_000, 1_000_000, 100_000_000):
+        k = k_for(n)
+        assert (
+            SEMDEDUP_BLOCK_EXPANSION * n / k
+            <= SEMDEDUP_TARGET_BLOCK_ROWS
+        )
+    # the ladder's calibration: constants move only with a re-probe
+    assert SEMDEDUP_TARGET_BLOCK_ROWS == 1_500
+    assert SEMDEDUP_BLOCK_EXPANSION == 1.5
+    assert k_for(1_000_000) == 1000
+
+
+def test_sized_shuffle_for_table_wires_the_rule(spark, tmp_path):
+    """VERDICT r11 #4: the exchange-sizing rule must have PRODUCT
+    callers — sized_shuffle_for_table reads the cached parquet-footer
+    row count and sets the session's shuffle partitions through
+    shuffle_partitions_for. At fixture scale the applied value lands
+    exactly on the session default (cores floor — gate plans
+    unchanged); a large estimated exchange must raise it."""
+    from tests.conftest import SF_DIR
+
+    from database_join_spark.plans.stats import (
+        parquet_rowcount,
+        sized_shuffle_for_table,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    docs = f"{SF_DIR}/documents.parquet"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    cat = tmp_path / "stats.json"
+    try:
+        # footer-only row count agrees with a real scan
+        assert (
+            parquet_rowcount(docs)
+            == spark.read.parquet(docs).count()
+        )
+        # fixture scale: floor = cores, conf set to the default
+        parts, hit = sized_shuffle_for_table(
+            spark, docs, rows_per_input_row=93, path=cat
+        )
+        assert parts == cores
+        assert hit is False  # first call computed the stat
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            cores
+        )
+        # second call reads the catalog, no recompute
+        _, hit2 = sized_shuffle_for_table(
+            spark, docs, rows_per_input_row=93, path=cat
+        )
+        assert hit2 is True
+        # a 100×-scale exchange demands more partitions (the rule
+        # fires, rounded to a cores multiple)
+        big, _ = sized_shuffle_for_table(
+            spark, docs, rows_per_input_row=1_000_000, path=cat
+        )
+        assert big > cores and big % cores == 0
+        assert spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ) == str(big)
+        # a missing table is a no-op, not an error
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        none_parts, none_hit = sized_shuffle_for_table(
+            spark, str(tmp_path / "nope.parquet"), path=cat
+        )
+        assert none_parts is None and none_hit is False
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == before
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
