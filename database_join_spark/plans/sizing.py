@@ -616,22 +616,31 @@ def shuffle_partitions_for(
 
 
 #: Target MEAN block rows for SemDeDup's k-means blocking, calibrated
-#: by the round-12 k-ladder at 1M vectors (SEMDEDUP_KLADDER_PROBE.json):
-#: the pair sweep costs ~(expansion·n)²/k pair scores, so bounding
-#: mean block rows (expansion·n/k) bounds the per-block quadratic —
-#: the ladder measured the wall falling monotonically with k at
-#: UNCHANGED planted recall (the ratio-capped multi-probe carries the
-#: boundary pairs regardless of cell size), flattening once blocks
-#: drop under ~1–2k rows where fit+assign (linear in k·n) start to
-#: pay back the sweep's savings.
-SEMDEDUP_TARGET_BLOCK_ROWS = 1_500
+#: by the round-12 k-ladder at 1M vectors (SEMDEDUP_KLADDER_PROBE.
+#: json): the pair sweep costs ~(expansion·n)²/2k pair scores, so
+#: bounding mean block rows (expansion·n/k) bounds the per-block
+#: quadratic. The measured recall/wall frontier — planted recall
+#: 1.0 at EVERY rung (the ratio-capped multi-probe carries boundary
+#: pairs regardless of cell size) — bottoms at k=1000 / mean block
+#: ~4k rows (112.5 s vs 293.6 s at the r11-default k=100, 2.6×);
+#: k=3162 is within noise of the floor (137 s) and k=10000 climbs
+#: back to 202.8 s because the FIT (sampled Lloyd's: k-GEMM per
+#: iteration + k·dim driver stats) grows from 5 s to 106 s — past
+#: the frontier the linear-in-k costs repay the sweep's savings.
+#: 4k also sits safely under SEMDEDUP_TARGET_CHUNK (8192), so the
+#: skew chunking stays a no-op on right-sized blocks. (The SemDeDup
+#: paper's own LAION recipe — 110k clusters / 440M vectors — is
+#: the same ~4k vectors per cluster.)
+SEMDEDUP_TARGET_BLOCK_ROWS = 4_000
 
-#: Measured blocking expansion (block rows per corpus vector) under
-#: the shipped ratio-capped probing (m=4, ratio=1.5):
-#: SEMDEDUP_STAGEWALL_PROBE.json counted 763,845 block rows for
-#: 505,000 vectors (1.51×); the k-ladder re-measured ~1.5× at every
-#: rung, so the factor is k-insensitive.
-SEMDEDUP_BLOCK_EXPANSION = 1.5
+#: Blocking expansion (block rows per corpus vector) under the
+#: shipped ratio-capped probing (m=4, ratio=1.5). At coarse k the
+#: ratio rule prunes probes (measured 1.51× at 505k/k=50, 1.98× at
+#: 1M/k=100) but once k exceeds the corpus's cluster structure most
+#: vectors sit near SOME boundary and the expansion SATURATES AT m
+#: (k-ladder: 3.82× at k=316, 4.0× flat from k=1000 up). k_for
+#: plans for the saturated regime — that is where k ∝ n lives.
+SEMDEDUP_BLOCK_EXPANSION = 4.0
 
 
 def k_for(
@@ -642,22 +651,32 @@ def k_for(
     """Centroid count for SemDeDup blocking over ``n_vectors``:
     enough clusters that the MEAN block holds at most
     ``target_block_rows`` rows, so the within-block pair sweep —
-    Σ|block|² ≈ (expansion·n)²/k, the measured 78% of the 1M wall
+    Σ|block|² ≈ (expansion·n)²/2k, the measured 78% of the 1M wall
     (SEMDEDUP_STAGEWALL_PROBE.json) — scales LINEARLY with n
     instead of quadratically. The r11-default k = n/10k froze block
-    size at ~15k rows, which holds the quadratic term's growth
+    size at ~20k rows, which holds the quadratic term's growth
     linear-in-n forever: the round-12 ladder measured that rung at
-    2.9× the wall of this rule's k at identical recall 1.0.
+    2.6× the wall of this rule's k at identical planted recall 1.0
+    (SEMDEDUP_KLADDER_PROBE.json; constants' docstrings carry the
+    full frontier).
 
     k ∝ n is the SemDeDup paper's own recipe (110k clusters for
-    LAION-440M ≈ 4k vectors/cluster); this encodes it beside the
-    planner's other measured rules (:func:`shuffle_partitions_for`,
-    :func:`decide`) — the reference's estimate-before-execute
-    discipline (q4112.c:336-377) applied to the blocking structure
-    constant instead of the hash-table size. Floor of 10 keeps
-    fixture-scale fits non-degenerate; recall is protected by the
-    ratio-capped multi-probe, not by block size (measured flat at
-    1.0 across the whole ladder).
+    LAION-440M ≈ 4k vectors/cluster — the same target this ladder
+    measured); this encodes it beside the planner's other measured
+    rules (:func:`shuffle_partitions_for`, :func:`decide`) — the
+    reference's estimate-before-execute discipline
+    (q4112.c:336-377) applied to the blocking structure constant
+    instead of the hash-table size. Floor of 10 keeps fixture-scale
+    fits non-degenerate; recall is protected by the ratio-capped
+    multi-probe, not by block size (measured flat at 1.0 across the
+    whole ladder).
+
+    Named next lever past ~10M vectors (out of scope here, visible
+    in the ladder's fit column): under k ∝ n both the sampled fit
+    and the full-corpus assign do n·k centroid-distance work — the
+    at-scale spelling caps the fit SAMPLE (fit_sample_mod ∝ n, the
+    probe already measured recall flat to 1-in-100) and assigns
+    against a coarse two-level quantizer (IVF-style, n·√k).
     """
     import math
 

@@ -452,10 +452,16 @@ def test_k_for_bounds_mean_block_rows():
             SEMDEDUP_BLOCK_EXPANSION * n / k
             <= SEMDEDUP_TARGET_BLOCK_ROWS
         )
-    # the ladder's calibration: constants move only with a re-probe
-    assert SEMDEDUP_TARGET_BLOCK_ROWS == 1_500
-    assert SEMDEDUP_BLOCK_EXPANSION == 1.5
+    # the ladder's calibration (SEMDEDUP_KLADDER_PROBE.json: wall
+    # frontier bottoms at k=1000 / ~4k mean block rows at 1M, recall
+    # 1.0 at every rung, expansion saturated at the m=4 cap):
+    # constants move only with a re-probe
+    assert SEMDEDUP_TARGET_BLOCK_ROWS == 4_000
+    assert SEMDEDUP_BLOCK_EXPANSION == 4.0
     assert k_for(1_000_000) == 1000
+    # fixture scale lands on the floor — dedup_semantic's gate
+    # behavior is identical to the pre-rule k=10 constant
+    assert k_for(500) == 10
 
 
 def test_sized_shuffle_for_table_wires_the_rule(spark, tmp_path):
