@@ -332,14 +332,30 @@ def lsh_candidate_pairs(
     lambda spelling, empty docs' pairs were only discarded later by
     the NULL-Jaccard filter).
     """
-    banded = banded_buckets(
-        df,
+    return lsh_pairs_from_buckets(
+        banded_buckets(
+            df,
+            id_col=id_col,
+            shingle_col=shingle_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            prehashed=prehashed,
+        ),
         id_col=id_col,
-        shingle_col=shingle_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        prehashed=prehashed,
-    ).withColumnRenamed(id_col, "__id")
+    )
+
+
+def lsh_pairs_from_buckets(
+    banded: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The pair-expansion back half of :func:`lsh_candidate_pairs`,
+    over an existing ``(id, band, bucket)`` frame — split out (round
+    12) so a caller that needs the bucket frame for ANOTHER purpose
+    (the streaming ingest stage appends survivors' buckets to its
+    cross-batch store) pays the 32-seed signature pass once, not
+    once per consumer. Same grouped map-side expansion, same output
+    contract (id_a < id_b, distinct)."""
+    banded = banded.withColumnRenamed(id_col, "__id")
     return (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("__id")).alias("ids"))

@@ -266,6 +266,154 @@ def corpus_ingest_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+def ingest_neardedup_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Cross-batch MinHash near-dup retirement for an ingest pipeline
+    (round 12, VERDICT r11 #7): the batch composition dedups exact +
+    MinHash + ExactSubstr, but a crawl's NEAR-dups arrive across
+    batches too — :func:`corpus_ingest_dedup`'s fingerprint state
+    only catches token-set-identical re-emits. This is the
+    ``foreachBatch`` stage that closes the gap, composing AFTER the
+    exact stage (``batch_df`` must carry a materialized token array
+    in ``toks_col`` — the tokenize-once contract).
+
+    Per batch, with the hashed-shingle machinery (no n-gram string
+    ever allocated, ``operators/dedup.shingle_hashes_from_tokens``):
+
+    1. WITHIN-batch: LSH banded buckets over the batch, bucket
+       self-join candidates, exact hashed-set Jaccard verify — a doc
+       that verifies ≥ ``threshold`` against a lower-id batchmate is
+       dropped (the batch library's min-id survivor rule; the policy
+       is pairwise, same as the batch MinHash stage — no transitive
+       closure).
+    2. CROSS-batch: the batch's buckets probe the accumulated BUCKET
+       STORE (``state_dir``/buckets: one (band, bucket, doc_id) row
+       per admitted doc-band — compact, id-only); bucket hits fetch
+       the rep's hashed-shingle SET from the SKETCH STORE
+       (``state_dir``/sketches: (doc_id, hs)) and verify the same
+       exact Jaccard. Any verified hit retires the arriving doc —
+       first arrival wins, like the exact stage.
+    3. Survivors' buckets + sketches APPEND to the two stores, and
+       the admitted frame (original columns) is returned for the
+       caller's downstream stages/sink.
+
+    State shape at 100 TB: the bucket store is ``bands`` id rows per
+    admitted doc; the sketch store one int64 array (~distinct
+    shingles ≈ tokens) per doc — both hash-partitioned appends, no
+    rewrites, the same grow-with-unique-corpus cost the fingerprint
+    store already pays, and the probe measures batch seconds FLAT as
+    they grow (STREAM_INGEST_NEARDUP_PROBE.json). Verification
+    payloads move only for bucket-hit candidates. The two appends +
+    the caller's sink append are not one atomic commit — batch-id
+    idempotence across restarts stays the checkpointed sink's job
+    (STREAM_KILL_RECOVERY_PROBE covers the recovery contract).
+
+    The hashed sets make Jaccard long-equality; two different
+    n-grams colliding at ~2⁻⁶⁴ per pair can only inflate a
+    candidate's Jaccard microscopically — the same declared
+    semantics as the batch ``dedup_minhash`` path's hashed tier.
+    Returns the admitted subset of ``batch_df`` (localCheckpointed:
+    the plan feeds signatures, verification, and the caller's sink —
+    the measured multi-consumer re-execution trap).
+    """
+    from pathlib import Path
+
+    from database_join_spark.operators import dedup as D
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint(eager=True)
+    hs_frame = batch_df.select(
+        F.col(id_col),
+        D.shingle_hashes_from_tokens(toks_col, shingle_n).alias("hs"),
+    ).localCheckpoint(eager=True)
+
+    # One signature pass for the whole stage: the bucket frame feeds
+    # the within-batch pair expansion, the cross-batch store probe,
+    # AND the survivors' store append — the 32-seed rehash is the
+    # batch's CPU hot spot, so it runs once behind a checkpoint.
+    bb = D.banded_buckets(
+        hs_frame,
+        id_col=id_col,
+        shingle_col="hs",
+        num_hashes=num_hashes,
+        bands=bands,
+        prehashed=True,
+    ).localCheckpoint(eager=True)
+
+    # ---- 1. within-batch near-dups (min-id survivor, pairwise)
+    cand = D.lsh_pairs_from_buckets(bb, id_col=id_col)
+    dropped_in_batch = (
+        D.pair_payloads(hs_frame, cand, id_col=id_col, payload_col="hs")
+        .filter(D.jaccard("hs_a", "hs_b") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    surv = batch_df.join(dropped_in_batch, id_col, "left_anti")
+    surv_hs = hs_frame.join(dropped_in_batch, id_col, "left_anti")
+
+    # ---- 2. cross-batch: probe the bucket store, verify vs sketches
+    buckets_dir = f"{state_dir.rstrip('/')}/buckets"
+    sketches_dir = f"{state_dir.rstrip('/')}/sketches"
+    surv_buckets = bb.join(dropped_in_batch, id_col, "left_anti")
+    if Path(buckets_dir).exists():
+        store_b = spark.read.parquet(buckets_dir)
+        hit_pairs = (
+            surv_buckets.join(
+                store_b.withColumnRenamed(id_col, "rep_id"),
+                ["band", "bucket"],
+            )
+            .select(id_col, "rep_id")
+            .distinct()
+        )
+        rep_hs = spark.read.parquet(sketches_dir).select(
+            F.col(id_col).alias("rep_id"), F.col("hs").alias("rep_hs")
+        )
+        dropped_cross = (
+            hit_pairs.join(rep_hs, "rep_id")
+            .join(surv_hs, id_col)
+            .filter(D.jaccard("hs", "rep_hs") >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        surv = surv.join(dropped_cross, id_col, "left_anti")
+        surv_hs = surv_hs.join(dropped_cross, id_col, "left_anti")
+        surv_buckets = surv_buckets.join(
+            dropped_cross, id_col, "left_anti"
+        )
+
+    # ---- 3. admit: append survivors' state, return the frame
+    surv = surv.localCheckpoint(eager=True)
+    admitted_ids = surv.select(id_col)
+    surv_buckets.join(admitted_ids, id_col, "left_semi").write.mode(
+        "append"
+    ).parquet(buckets_dir)
+    surv_hs.join(admitted_ids, id_col, "left_semi").write.mode(
+        "append"
+    ).parquet(sketches_dir)
+    # pair_payloads track_persist()s its candidate frame expecting
+    # the NEXT QUERY's configure_session to drain the pool — a
+    # foreachBatch loop has no next query, so the pool would grow
+    # one cached frame per micro-batch for the life of the stream.
+    # Both state appends above have executed, so release is safe
+    # here.
+    from database_join_spark.session import _PERSIST_POOL
+
+    while _PERSIST_POOL:
+        try:
+            _PERSIST_POOL.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    return surv
+
+
 def click_to_purchase_join(stream: DataFrame) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's clicks in the preceding 24 h.

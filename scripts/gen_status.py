@@ -96,6 +96,12 @@ TAIL = """
 | sessionizer state-scale probe (1e7 events, bounded state, parity 0-diff) | scripts/session_state_probe.py | BASELINE.md §state-scale + bounded-restarts test |
 | ANN scale probe (1M vectors, recall 1.00, 4.8–6× at 200 queries) | scripts/ann_probe.py | BASELINE.md §similarity scaling |
 | runtime avg_int registration for harness-owned sessions | functions/ext.py | driver-gated agg_avg_int_ext oracle row |
+| streaming corpus-ingest composition (gate → fp dedup → decontam → sink) | streaming/ + scripts/stream_ingest_probe.py | 2M-doc planted masses exact, sink≡replay (STREAM_INGEST_PROBE.json) |
+| exactly-once kill-recovery (hard-kill mid-batch at 5e7) | scripts/stream_kill_recovery_probe.py | 0 missing / 0 extra / 0 orphans (STREAM_KILL_RECOVERY_PROBE.json) |
+| cross-batch MinHash near-dup retirement (bucket + sketch stores) | streaming/ingest_neardedup_batch | planted masses exact ×3 batches (test_streaming) + 2M probe w/ batch-replay parity (STREAM_INGEST_NEARDUP_PROBE.json) |
+| broadcast/GEMM k-means assign, bit-parity with literal plan | operators/similarity.py | literal≡np pins incl. ties/ratio/fit (test_pipeline) |
+| SemDeDup k-ladder frontier → k_for(n) planner rule | plans/sizing.py + scripts/semdedup_kladder_probe.py | recall 1.0 ladder, calibration pins (test_sizing) + SEMDEDUP_KLADDER_PROBE.json |
+| exchange sizing from catalog row counts (product callers) | plans/stats.sized_shuffle_for_table | conf/floor/cache pins (test_sizing) |
 """
 
 

@@ -107,6 +107,17 @@ def main() -> None:
         help="scaled: shuffle partitions = cores x (docs/1M); "
              "fixed: the session default (cores)",
     )
+    ap.add_argument(
+        "--heap-gb", type=int, default=None,
+        help="override the 8 GB/1M-docs driver-heap rule (round 12: "
+             "the 4M residual-efficiency adjudication wants a 48 GB "
+             "control to separate spill-disk/GC from real scaling)",
+    )
+    ap.add_argument(
+        "--label", default=None,
+        help="suffix for the artifact run label "
+             "(default: <staging>_<partition-rule>)",
+    )
     ap.add_argument("--point", type=int, help="(internal) child mode")
     ap.add_argument("--out", help="(internal) child output path")
     args = ap.parse_args()
@@ -126,7 +137,7 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     run: dict = {"points": []}
     for n in points:
-        heap_gb = max(8, round(8 * n / 1_000_000))
+        heap_gb = args.heap_gb or max(8, round(8 * n / 1_000_000))
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{heap_gb}g")
         if args.partition_rule == "scaled":
             # The planner rule this very sweep calibrated (ADVICE
@@ -169,7 +180,7 @@ def main() -> None:
         json.loads(artifact.read_text()) if artifact.exists() else {}
     )
     out["local_cores"] = cores
-    label = f"{args.staging}_{args.partition_rule}"
+    label = args.label or f"{args.staging}_{args.partition_rule}"
     out.setdefault("runs", {})[label] = run
     artifact.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps([

@@ -939,3 +939,68 @@ def test_sessionize_ttl_state_bounded_across_restarts(spark, tmp_path):
     )
     assert len(final) == users_per_cohort
     assert all(r["n"] == 5 and r["session_seq"] == 1 for r in final)
+
+
+def test_ingest_neardedup_batch_cross_batch_masses(spark, tmp_path):
+    """The round-12 cross-batch MinHash stage
+    (streaming.ingest_neardedup_batch): planted same-batch and
+    cross-batch NEAR-dups (one word of 50 replaced — hashed-shingle
+    Jaccard ≈ 0.94) must retire with exact masses, the survivors'
+    bucket/sketch stores must census exactly, and a third batch must
+    still dedup against the FIRST batch's state (the store
+    accumulates, not a sliding window)."""
+    from database_join_spark.operators import text as T
+    from database_join_spark.streaming import ingest_neardedup_batch
+
+    state = str(tmp_path / "state")
+    n = 200  # per batch; class = id % 20 → 10 docs per class
+
+    def day(d):
+        base = (
+            "CASE WHEN id % 20 = 5 THEN id - 5 "
+            f"WHEN id % 20 = 9 AND id >= {n} THEN id - 9 - {n} "
+            "ELSE id END"
+        )
+        word = (
+            "IF(i = 3 AND (id % 20 = 5 OR (id % 20 = 9 AND "
+            f"id >= {n})), concat('z', CAST(id AS STRING)), "
+            f"concat('w', pmod(xxhash64({base}, i), 500)))"
+        )
+        return (
+            spark.range(d * n, (d + 1) * n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    f"array_join(transform(sequence(0, 49), "
+                    f"i -> {word}), ' ')"
+                ).alias("text"),
+            )
+            .select("doc_id", T.tokens("text").alias("toks"))
+        )
+
+    # day 0: class-5 near-dups (10) drop within-batch; class 9 has
+    # no prior day → unique background, admitted
+    a0 = ingest_neardedup_batch(day(0), state)
+    assert a0.count() == n - 10
+    # day 1: class 5 within-batch + class 9 vs day-0 state
+    a1 = ingest_neardedup_batch(day(1), state)
+    assert a1.count() == n - 20
+    # day 2: same — and the state still holds day 0's docs
+    a2 = ingest_neardedup_batch(day(2), state)
+    assert a2.count() == n - 20
+
+    admitted = (n - 10) + 2 * (n - 20)
+    buckets = spark.read.parquet(f"{state}/buckets")
+    sketches = spark.read.parquet(f"{state}/sketches")
+    assert sketches.count() == admitted
+    assert buckets.count() == admitted * 16  # default bands
+    # dropped docs never entered state
+    assert (
+        sketches.filter((F.col("doc_id") % 20) == 5).count() == 0
+    )
+    # exactly day-0's class-9 background docs survive in state
+    assert (
+        sketches.filter((F.col("doc_id") % 20) == 9).count() == 10
+    )
+    # survivors pass through with their original columns
+    assert set(a2.columns) == {"doc_id", "toks"}
