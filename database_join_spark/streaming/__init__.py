@@ -266,6 +266,12 @@ def corpus_ingest_dedup(stream: DataFrame) -> DataFrame:
     )
 
 
+#: Candidate-sketch fetches collect rep ids to the driver and push an
+#: In-filter into the parquet scan while the list stays a filter-sized
+#: literal; past this, fall back to a broadcast semi-join.
+_ISIN_FETCH_MAX = 100_000
+
+
 def ingest_neardedup_batch(
     batch_df: DataFrame,
     state_dir: str,
@@ -307,12 +313,22 @@ def ingest_neardedup_batch(
 
     State shape at 100 TB: the bucket store is ``bands`` id rows per
     admitted doc; the sketch store one int64 array (~distinct
-    shingles ≈ tokens) per doc — both hash-partitioned appends, no
-    rewrites, the same grow-with-unique-corpus cost the fingerprint
-    store already pays, and the probe measures batch seconds FLAT as
-    they grow (STREAM_INGEST_NEARDUP_PROBE.json). Verification
-    payloads move only for bucket-hit candidates. The two appends +
-    the caller's sink append are not one atomic commit — batch-id
+    shingles ≈ tokens) per doc — both append-only, the same
+    grow-with-unique-corpus cost the fingerprint store already pays.
+    The store is probed WITHOUT ever shuffling it (the batch's
+    bucket rows broadcast into a map-side scan — the round-12 probe
+    measured the shuffle-join spelling growing 21 → 81 s/batch over
+    20 batches at 2M docs, and this spelling holding 25 → 33 s),
+    and candidate sketches are fetched by a driver-collected id
+    In-filter pushed into the parquet scan (append files are
+    id-ranged, so file stats prune the read to the reps' files;
+    past :data:`_ISIN_FETCH_MAX` candidates it falls back to a
+    broadcast semi-join). The residual per-batch slope is the
+    bucket store's columnar scan — linear in unique corpus but
+    payload-free (24 B/row); on a fleet that scan distributes, and
+    the index-free-parquet trade can be retired entirely with a
+    bucketed-table layout on the bucket hash. The two appends + the
+    caller's sink append are not one atomic commit — batch-id
     idempotence across restarts stays the checkpointed sink's job
     (STREAM_KILL_RECOVERY_PROBE covers the recovery contract).
 
@@ -364,20 +380,52 @@ def ingest_neardedup_batch(
     sketches_dir = f"{state_dir.rstrip('/')}/sketches"
     surv_buckets = bb.join(dropped_in_batch, id_col, "left_anti")
     if Path(buckets_dir).exists():
+        # The store is the BIG side and it grows every batch; the
+        # batch is bounded. Broadcasting the batch's bucket rows
+        # probes the store as a map-side scan — NO shuffle of the
+        # store, ever (the first probe run's shuffle-join spelling
+        # measured batch seconds growing 21 → 81 s over 20 batches
+        # at 2M docs; the store scan itself is the only per-batch
+        # cost that remains, and it's a cheap columnar read).
         store_b = spark.read.parquet(buckets_dir)
         hit_pairs = (
-            surv_buckets.join(
-                store_b.withColumnRenamed(id_col, "rep_id"),
-                ["band", "bucket"],
-            )
+            store_b.withColumnRenamed(id_col, "rep_id")
+            .join(F.broadcast(surv_buckets), ["band", "bucket"])
             .select(id_col, "rep_id")
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        rep_hs = spark.read.parquet(sketches_dir).select(
+        # Sketch fetch: candidate rep ids are near-dup-mass bounded
+        # (a crawl's per-batch duplicate rate), so collect them and
+        # push an In-filter INTO the parquet scan — append files are
+        # id-ranged (each batch appends a contiguous id run), so
+        # file/row-group stats prune the store read to the few files
+        # holding the reps instead of scanning every sketch ever
+        # admitted. Past _ISIN_FETCH_MAX candidates the plan falls
+        # back to the join spelling (a literal list that large stops
+        # being a filter and starts being a table).
+        rep_ids = [
+            r["rep_id"]
+            for r in hit_pairs.select("rep_id").distinct().collect()
+        ]
+        sketches = spark.read.parquet(sketches_dir)
+        if len(rep_ids) <= _ISIN_FETCH_MAX:
+            rep_rows = sketches.filter(
+                F.col(id_col).isin(rep_ids)
+                if rep_ids
+                else F.lit(False)
+            )
+        else:
+            rep_rows = sketches.join(
+                F.broadcast(hit_pairs.select("rep_id").distinct()),
+                sketches[id_col] == F.col("rep_id"),
+                "left_semi",
+            )
+        rep_hs = rep_rows.select(
             F.col(id_col).alias("rep_id"), F.col("hs").alias("rep_hs")
         )
         dropped_cross = (
-            hit_pairs.join(rep_hs, "rep_id")
+            hit_pairs.join(F.broadcast(rep_hs), "rep_id")
             .join(surv_hs, id_col)
             .filter(D.jaccard("hs", "rep_hs") >= threshold)
             .select(id_col)

@@ -110,6 +110,10 @@ def main() -> None:
     ap.add_argument("--per-day", type=int, default=100_000)
     ap.add_argument("--days", type=int, default=20)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--arm", default="broadcast_isin",
+        help="artifact label for this store-probe spelling",
+    )
     args = ap.parse_args()
     per_day = 5_000 if args.quick else args.per_day
     days = 5 if args.quick else args.days
@@ -317,11 +321,20 @@ def main() -> None:
         and out["state_exact"]
         and out["parity_exact"]
     )
-    Path(_REPO, "STREAM_INGEST_NEARDUP_PROBE.json").write_text(
-        json.dumps(out, indent=1) + "\n"
+    # merge-on-write under an arm label so the round-12 store-probe
+    # spellings sit side by side (the v1 shuffle-join arm measured
+    # batch seconds GROWING with the store; the broadcast+pushed-
+    # fetch arm is the fix under test)
+    artifact = Path(_REPO, "STREAM_INGEST_NEARDUP_PROBE.json")
+    existing = (
+        json.loads(artifact.read_text()) if artifact.exists() else {}
     )
+    if "ingest" in existing:  # flat v1 layout → relabel
+        existing = {"arms": {"shuffle_join_v1": existing}}
+    existing.setdefault("arms", {})[args.arm] = out
+    artifact.write_text(json.dumps(existing, indent=1) + "\n")
     print(
-        f"wrote STREAM_INGEST_NEARDUP_PROBE.json "
+        f"wrote STREAM_INGEST_NEARDUP_PROBE.json arm={args.arm} "
         f"all_exact={out['all_exact']}"
     )
 

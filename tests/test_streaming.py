@@ -949,6 +949,8 @@ def test_ingest_neardedup_batch_cross_batch_masses(spark, tmp_path):
     bucket/sketch stores must census exactly, and a third batch must
     still dedup against the FIRST batch's state (the store
     accumulates, not a sliding window)."""
+    from pyspark.sql import functions as F
+
     from database_join_spark.operators import text as T
     from database_join_spark.streaming import ingest_neardedup_batch
 
