@@ -78,8 +78,11 @@ def test_bench_emits_one_valid_slim_json_line(tmp_path):
         "large_inner_bucketed_build_sec",
     ):
         assert key in wl, sorted(wl)
-    # ... and the host drift-adjudication block (round 9, r08 #5)
-    assert set(out.get("host", {})) == {"start", "mid", "end"}
+    # ... and the host drift-adjudication block (round 9, r08 #5;
+    # round 12 adds the recorded quiet-window decision, r11 #3)
+    assert set(out.get("host", {})) == {"start", "mid", "end", "quiet"}
+    waited, load1 = out["host"]["quiet"]
+    assert waited >= 0 and load1 > 0
     # sizing decisions / runs arrays / derivable per-row extras are
     # audit payload: slimmed OFF the printed line (round 9 — the
     # 1,900-char tail budget must fit the reference_workload map),
