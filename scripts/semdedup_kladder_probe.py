@@ -165,9 +165,25 @@ def main() -> None:
 
     emb.unpersist()
     out["host_end"] = host_snapshot()
-    Path(_REPO, "SEMDEDUP_KLADDER_PROBE.json").write_text(
-        json.dumps(out, indent=1) + "\n"
-    )
+    # merge-on-write: a later invocation at the same geometry
+    # replaces only its own k rungs (e.g. the round-12 quiet-box
+    # re-run of the k_for winner), keeping the rest of the ladder
+    artifact = Path(_REPO, "SEMDEDUP_KLADDER_PROBE.json")
+    if artifact.exists():
+        prior = json.loads(artifact.read_text())
+        same_geom = all(
+            prior.get(k) == out[k]
+            for k in ("n_base", "m", "ratio", "fit_sample_mod",
+                      "iterations", "threshold")
+        )
+        if same_geom:
+            new_ks = {r["k"] for r in out["rungs"]}
+            out["rungs"] = sorted(
+                [r for r in prior["rungs"] if r["k"] not in new_ks]
+                + out["rungs"],
+                key=lambda r: r["k"],
+            )
+    artifact.write_text(json.dumps(out, indent=1) + "\n")
     print("wrote SEMDEDUP_KLADDER_PROBE.json")
 
 
