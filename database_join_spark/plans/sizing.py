@@ -681,3 +681,37 @@ def k_for(
     import math
 
     return max(10, math.ceil(expansion * n_vectors / target_block_rows))
+
+
+#: Fit-sample floor: rows per centroid the sampled k-means fit keeps.
+#: Measured at 1M/k=100 (SEMDEDUP_SAMPLEDFIT_PROBE.json): a 10k-row
+#: sample — 100 rows per centroid — fits centroids whose blocking
+#: recalls the planted truth at 1.0, identical to the full-corpus
+#: fit, while fit wall drops 152 → 20.6 s; the shipped 1-in-10 recipe
+#: at the ladder's k=1000 is the same 100-rows-per-centroid point.
+SEMDEDUP_FIT_ROWS_PER_CENTROID = 100
+
+
+def fit_sample_mod_for(
+    n_vectors: int,
+    k: int,
+    rows_per_centroid: int = SEMDEDUP_FIT_ROWS_PER_CENTROID,
+) -> int:
+    """1-in-mod hash-sample denominator for SemDeDup's k-means fit:
+    keep ~``rows_per_centroid × k`` sampled rows, never fewer. The
+    companion rule to :func:`k_for` — under k ∝ n a FULL fit does
+    n·k centroid-distance work per iteration (super-linear in n);
+    bounding the sample at rows-per-centroid makes the fit's row
+    count scale WITH k, so placing 10× the centroids costs 10× the
+    sample, not 10× the corpus. Blocking quality depends on where
+    centroids sit, not on which rows placed them — the probe
+    measured recall pinned at 1.0 down to this floor
+    (SEMDEDUP_SAMPLEDFIT_PROBE.json, 1-in-100 at 1M/k=100).
+
+    Returns 1 (full fit) when the corpus is already near the sample
+    target — the fixture-scale identity, and
+    ``semdedup_pairs(fit_sample_mod=1)`` is the documented full-fit
+    spelling; its own fewer-than-k fallback still guards degenerate
+    samples independently.
+    """
+    return max(1, n_vectors // max(1, rows_per_centroid * k))

@@ -3375,7 +3375,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     across pipeline stages (topic_kmeans reuses it for domain
     balancing).
     """
-    from ..plans.sizing import k_for
+    from ..plans.sizing import fit_sample_mod_for, k_for
     from ..plans.stats import parquet_rowcount, parquet_table_key
     from ..plans.stats import cached_statistic
 
@@ -3385,13 +3385,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rowcount",
         lambda: parquet_rowcount(emb_path),
     )
+    k = k_for(int(n_vec))
     emb = table(spark, sf_dir, "embeddings")
     return S.semdedup_pairs(
         emb,
-        k=k_for(int(n_vec)),
+        k=k,
         iterations=3,
         m=_SEMDEDUP_PROBES,
         threshold=_COS_DUP_THRESHOLD,
+        fit_sample_mod=fit_sample_mod_for(int(n_vec), k),
     )
 
 

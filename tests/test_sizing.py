@@ -522,3 +522,27 @@ def test_sized_shuffle_for_table_wires_the_rule(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_fit_sample_mod_for_bounds_sample_at_rows_per_centroid():
+    """The fit-sample companion to k_for (round 12): keep
+    ~rows_per_centroid × k sampled rows — recall measured 1.0 down
+    to this floor (SEMDEDUP_SAMPLEDFIT_PROBE.json, 1-in-100 at
+    1M/k=100). Fixture scale returns 1 (full fit — identical to the
+    pre-rule behavior)."""
+    from database_join_spark.plans.sizing import (
+        SEMDEDUP_FIT_ROWS_PER_CENTROID,
+        fit_sample_mod_for,
+        k_for,
+    )
+
+    assert SEMDEDUP_FIT_ROWS_PER_CENTROID == 100
+    # the probe's measured points
+    assert fit_sample_mod_for(1_000_000, 100) == 100
+    assert fit_sample_mod_for(1_000_000, 1000) == 10  # the ladder's 1-in-10
+    # fixture scale: full fit
+    assert fit_sample_mod_for(500, k_for(500)) == 1
+    # sample never shrinks below the floor: n/mod >= rows*k
+    for n, k in ((10**6, 100), (10**7, 1000), (10**8, 25_000)):
+        mod = fit_sample_mod_for(n, k)
+        assert n // mod >= 100 * k or mod == 1
