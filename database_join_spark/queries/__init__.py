@@ -85,17 +85,20 @@ DRIVER_GATE: frozenset[str] = frozenset({
     "tpch_q8",
     "udf_surface", "udtf_surface",
     "window_analytic", "window_distribution", "window_rank_topk",
-    # -- r10-tail refresh: first 22 of the 46 r10 ids in sorted
-    #    order (rotation 11 takes the remaining 24:
-    #    join_asof_bucketed…variant_json)
+    # -- r10-tail refresh: first 17 of the 46 r10 ids in sorted
+    #    order minus dedup_incremental — the slice keeps all three
+    #    round-12-touched dedup operators; rotation 11 takes
+    #    dedup_incremental + distinct_hll_sketch…variant_json (30)
     "agg_argmax", "agg_avg_int_ext", "agg_quantile_exact",
     "agg_repartition_first", "anomaly_zscore", "bpe_pair_counts",
     "chunk_documents", "corpus_clean", "corpus_mix",
     "decontam_bloom", "decontam_ngram", "dedup_clusters",
-    "dedup_first_event", "dedup_incremental", "dedup_semantic",
+    "dedup_first_event", "dedup_semantic",
     "dedup_substring", "dedup_substring_apply",
-    "distinct_hll_sketch", "embed_quantize", "event_funnel",
-    "heavy_hitters_approx", "join_asof",
+    # -- round-12-born: the six adapted TPC-H queries (new ids gate
+    #    in their birth round)
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
+    "tpch_q20",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
     #    is re-proven under the driver every round)
     "agg_scalar_avg",

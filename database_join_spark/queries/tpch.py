@@ -2,19 +2,25 @@
 
 The reference executes exactly one query shape (PK–FK join +
 aggregation); a user switching engines expects the standard
-multi-way-join analytical patterns to work too. Sixteen classics
-cover what the rest of the registry doesn't: scan + wide aggregation
-(Q1, Q6), selective joins with global top-k (Q3, Q10), snowflake
-joins with cycle-closing equalities (Q5, Q7, Q8), correlated
-EXISTS / NOT EXISTS (Q4, Q21), aggregate-derived semi-joins and view
-reuse (Q18, Q15), conditional aggregation (Q14), cross-table OR
-envelopes (Q19), outer-join count distributions (Q13), decorrelated
-scalar subqueries (Q17), and scalar-threshold anti-joins (Q22).
-Queries needing fixture-absent columns (partsupp, l_shipmode,
-l_commitdate, c_phone — Q2/Q9/Q11/Q12/Q16/Q20) are adapted where
-the shape survives (Q4, Q8, Q13, Q17, Q19, Q21, Q22) and otherwise
-out of fixture scope. Catalyst handles join ordering; the plan tests pin
-that filters reach the scans.
+multi-way-join analytical patterns to work too. All twenty-two
+classics (round 12 completed the set) cover what the rest of the
+registry doesn't: scan + wide aggregation (Q1, Q6), selective joins
+with global top-k (Q3, Q10), snowflake joins with cycle-closing
+equalities (Q5, Q7, Q8), correlated EXISTS / NOT EXISTS (Q4, Q21),
+aggregate-derived semi-joins and view reuse (Q18, Q15), conditional
+aggregation (Q14), cross-table OR envelopes (Q19), outer-join count
+distributions (Q13), decorrelated scalar subqueries (Q17), and
+scalar-threshold anti-joins (Q22). Queries whose spec columns the
+fixtures lack (partsupp, l_shipmode, l_commitdate, c_phone,
+s_comment) are ADAPTED with the shape intact and the substitution
+named in each docstring: the part–supplier relation derives from
+shipped lineitems (Q2's correlated-MIN supplier, Q11's
+value-vs-global-threshold, Q16's descriptor supplier counts, Q20's
+nested-aggregate dominance semi-join), cost bases use retail price
+(Q9), ship-mode/lateness classes use returnflag and
+shipdate-vs-orderdate (Q12, like Q4/Q21), and phone/comment slices
+use nationkey/acctbal (Q22, Q16). Catalyst handles join ordering;
+the plan tests pin that filters reach the scans.
 
 Determinism (FIXTURES.md): money math follows the _DSUM pattern —
 double products are computed in IEEE double (identical in DuckDB),
@@ -1087,4 +1093,459 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.expr(_DSUM.format(c="c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q2 — minimum-cost supplier (round 12)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q2",
+    oracle=f"""
+    WITH costs AS (
+      SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey,
+             MIN(CAST(l_extendedprice AS DOUBLE)
+                 / CAST(l_quantity AS DOUBLE)) AS unit_cost
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA' AND l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT c_partkey AS b_partkey, MIN(unit_cost) AS min_cost
+      FROM costs GROUP BY c_partkey
+    )
+    SELECT s_acctbal, s_name, n_name,
+           CAST(c_partkey AS BIGINT) AS partkey,
+           p_type, min_cost,
+           CAST(c_suppkey AS BIGINT) AS suppkey
+    FROM costs
+    JOIN best ON b_partkey = c_partkey AND unit_cost = min_cost
+    JOIN part ON p_partkey = c_partkey
+    JOIN supplier ON s_suppkey = c_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size <= 20 AND p_type = 'PROMO'
+    ORDER BY s_acctbal DESC, n_name, s_name, partkey, suppkey
+    LIMIT 100
+    """,
+    tags=("tpch",),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: for each qualifying part, the
+    region's suppliers achieving the minimum cost, decorated with
+    supplier/nation attributes and top-100 ordered. The fixtures
+    carry no partsupp table, so the part–supplier cost relation is
+    DERIVED from shipped reality: unit cost = min
+    l_extendedprice/l_quantity over the pair's lineitems — the same
+    correlated-MIN-subquery shape (spec Q2's
+    ``ps_supplycost = (SELECT MIN(ps_supplycost) ...)``),
+    decorrelated into aggregate + join-back exactly as Catalyst
+    rewrites the spec form.
+
+    Determinism: unit cost is one IEEE double division (identical in
+    DuckDB), MIN of doubles is exact, and the min-equality join back
+    compares a value against the very aggregate it came from. The
+    top-100 order closes with the unique (partkey, suppkey) pair.
+    100 TB: costs is one shuffle of (part, supp) keys off the fact;
+    best is part-keyed; region/nation prune suppliers FIRST (5/25
+    constant rows broadcast), so only the region's fact share
+    aggregates.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem").filter("l_quantity > 0")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    asia_sup = (
+        sup.join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    nat.n_regionkey == reg.r_regionkey,
+                )
+            ),
+            sup.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    costs = (
+        li.join(F.broadcast(asia_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("c_partkey"),
+            F.col("l_suppkey").alias("c_suppkey"),
+        )
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(l_extendedprice AS DOUBLE)"
+                    " / CAST(l_quantity AS DOUBLE)"
+                )
+            ).alias("unit_cost")
+        )
+    )
+    best = costs.groupBy(
+        F.col("c_partkey").alias("b_partkey")
+    ).agg(F.min("unit_cost").alias("min_cost"))
+    part = table(spark, sf_dir, "part").filter(
+        "p_size <= 20 AND p_type = 'PROMO'"
+    )
+    # fresh reads for the decoration joins: `sup`/`nat` already feed
+    # the asia_sup derivation above and reusing the same Dataset
+    # objects trips Spark's ambiguous-self-join analysis
+    sup_d = table(spark, sf_dir, "supplier")
+    nat_d = table(spark, sf_dir, "nation")
+    return (
+        costs.join(
+            best,
+            (F.col("b_partkey") == F.col("c_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(part, part.p_partkey == F.col("c_partkey"))
+        .join(sup_d, sup_d.s_suppkey == F.col("c_suppkey"))
+        .join(F.broadcast(nat_d), nat_d.n_nationkey == sup_d.s_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("c_partkey").cast("long").alias("partkey"),
+            "p_type",
+            "min_cost",
+            F.col("c_suppkey").cast("long").alias("suppkey"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "partkey", "suppkey"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q9 — product-type profit by nation and year (round 12)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           {_DSUM.format(
+               c="l_extendedprice * (1 - l_discount)"
+               " - 0.4 * p_retailprice * l_quantity"
+           )} AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+    tags=("tpch",),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit: per supplying nation per order year,
+    the profit on a part-name slice — the five-way star join grouped
+    on two derived keys. Fixtures carry no ps_supplycost, so cost is
+    the deterministic stand-in 0.4·p_retailprice·l_quantity (spec
+    Q9's ``ps_supplycost * l_quantity`` with retail price as the
+    cost basis); the join graph and group shape are the spec's.
+
+    Determinism: the per-row profit is double arithmetic (IEEE-
+    identical), stabilized through the _DSUM decimal fold. 100 TB:
+    part-name filter prunes at the part scan and semi-reduces the
+    fact through the join; nation is a broadcast constant; the final
+    exchange carries nations × years groups.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part").filter("p_name LIKE '%bolt%'")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(part, part.p_partkey == li.l_partkey)
+        .join(sup, sup.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nat), nat.n_nationkey == sup.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.expr(
+                "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)"
+            ).alias("o_year"),
+        )
+        .agg(
+            F.expr(
+                _DSUM.format(
+                    c="l_extendedprice * (1 - l_discount)"
+                    " - 0.4 * p_retailprice * l_quantity"
+                )
+            ).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q11 — important part values (round 12)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q11",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_partkey AS v_partkey,
+             {_DSUM.format(c="l_extendedprice * l_quantity")} AS part_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY l_partkey
+    ),
+    total AS (
+      SELECT {_DSUM.format(c="part_value")} AS grand_total FROM vals
+    )
+    SELECT CAST(v_partkey AS BIGINT) AS partkey, part_value
+    FROM vals, total
+    WHERE part_value > 0.001 * grand_total
+    ORDER BY part_value DESC, partkey
+    """,
+    tags=("tpch",),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: parts whose value within one nation's
+    suppliers exceeds a fraction of that nation's grand total — the
+    aggregate-vs-global-aggregate threshold (spec Q11's HAVING
+    against a scalar subquery). Fixtures carry no partsupp, so part
+    value is Σ l_extendedprice·l_quantity over the nation's shipped
+    lines; shape (two-pass aggregate, scalar broadcast, threshold
+    filter, value-ordered output) is the spec's.
+
+    Determinism: both sides of the > are _DSUM doubles derived
+    identically in each engine, and the output order closes with the
+    unique part key. 100 TB: the single-row grand total broadcasts
+    (the engine's standard scalar pattern); vals is one part-keyed
+    exchange of the nation's fact share.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").filter("s_nationkey = 3")
+    vals = (
+        li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
+        .groupBy(F.col("l_partkey").alias("v_partkey"))
+        .agg(
+            F.expr(
+                _DSUM.format(c="l_extendedprice * l_quantity")
+            ).alias("part_value")
+        )
+    )
+    total = vals.agg(
+        F.expr(_DSUM.format(c="part_value")).alias("grand_total")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("grand_total"))
+        .select(
+            F.col("v_partkey").cast("long").alias("partkey"),
+            "part_value",
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q12 — late lines by category and priority (round 12)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE o_orderpriority IN
+             ('1-URGENT', '2-HIGH')) AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN
+             ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("tpch",),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-priority audit: for each line category, how many
+    LATE lines carried urgent vs non-urgent orders. Fixtures carry
+    no l_shipmode/l_commitdate/l_receiptdate, so the category is
+    l_returnflag and "late" is shipped >90 days after the order
+    (the same adaptation tpch_q4/q21 use); the shape — join, derived
+    boolean slice, per-category conditional two-way counts — is the
+    spec's.
+
+    Determinism: pure integer counts over an exact date predicate
+    (interval arithmetic agrees across engines — pinned by q21's
+    identical idiom). 100 TB: the date slice prunes the fact scan;
+    the final exchange carries |categories| groups after map-side
+    partial counts.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    high = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .filter(
+            "l_shipdate > o_orderdate + INTERVAL 90 DAY "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01'"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(f"COUNT_IF({high})").alias("high_line_count"),
+            F.expr(f"COUNT_IF(NOT ({high}))").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q16 — supplier count by part descriptor (round 12)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch",),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship: distinct supplier counts per
+    part descriptor, excluding a blacklisted supplier set — the
+    distinct-aggregate + NOT-IN-subquery shape. Fixtures carry no
+    partsupp (the relation derives from shipped lines, as in q2)
+    and no s_comment ("complaints" become s_acctbal < 1000 — a
+    deterministic blacklist with real members); descriptor filters
+    are the spec's brand/type/size exclusions.
+
+    Determinism: integer counts, string/int predicates, order closed
+    by the full group key. 100 TB: the NOT-IN set is a broadcast
+    anti-join (supplier is the constant-side table); the distinct
+    aggregation shuffles (descriptor, suppkey) pairs once.
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        "p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%' "
+        "AND p_size IN (1, 4, 9, 14, 19, 24, 29)"
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        "s_acctbal < 1000.0"
+    ).select("s_suppkey")
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_q20 — suppliers with excess shipped share (round 12)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q20",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_suppkey AS sh_suppkey, l_partkey AS sh_partkey,
+             {_DSUM.format(c="l_quantity")} AS pair_qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_tot AS (
+      SELECT sh_partkey AS pt_partkey,
+             {_DSUM.format(c="pair_qty")} AS part_qty
+      FROM shipped GROUP BY sh_partkey
+    )
+    SELECT DISTINCT s_name, s_acctbal,
+           CAST(s_suppkey AS BIGINT) AS suppkey
+    FROM shipped
+    JOIN part_tot ON pt_partkey = sh_partkey
+    JOIN supplier ON s_suppkey = sh_suppkey
+    WHERE pair_qty > 0.5 * part_qty
+      AND s_nationkey IN (2, 3, 4)
+    ORDER BY s_name, suppkey
+    """,
+    tags=("tpch",),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion: suppliers who dominate a part's
+    shipped volume — the nested-aggregate semi-join (spec Q20's
+    ``ps_availqty > 0.5 * (SELECT SUM(l_quantity) ...)``). With no
+    partsupp, the per-(supplier, part) shipped quantity stands in
+    for availqty and the threshold is the part's total shipped
+    quantity over the same window — the inner correlated SUM
+    decorrelated into a second aggregate, exactly the q17 rewrite,
+    then DISTINCT suppliers decorated and nation-filtered.
+
+    Determinism: both comparison sides are _DSUM doubles with
+    identical derivations; DISTINCT + the unique suppkey close the
+    order. 100 TB: the name/date slice prunes the fact first;
+    shipped is one (supp, part)-keyed exchange of the slice,
+    part_tot a part-keyed reaggregation of shipped (already tiny).
+    """
+    configure_session(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01'"
+    )
+    part = table(spark, sf_dir, "part").filter("p_name LIKE 'small%'")
+    shipped = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("l_suppkey").alias("sh_suppkey"),
+            F.col("l_partkey").alias("sh_partkey"),
+        )
+        .agg(F.expr(_DSUM.format(c="l_quantity")).alias("pair_qty"))
+    )
+    part_tot = shipped.groupBy(
+        F.col("sh_partkey").alias("pt_partkey")
+    ).agg(F.expr(_DSUM.format(c="pair_qty")).alias("part_qty"))
+    sup = table(spark, sf_dir, "supplier").filter(
+        "s_nationkey IN (2, 3, 4)"
+    )
+    return (
+        shipped.join(
+            part_tot, F.col("pt_partkey") == F.col("sh_partkey")
+        )
+        .filter(F.col("pair_qty") > 0.5 * F.col("part_qty"))
+        .join(sup, sup.s_suppkey == F.col("sh_suppkey"))
+        .select(
+            "s_name",
+            "s_acctbal",
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+        )
+        .distinct()
+        .orderBy("s_name", "suppkey")
     )
