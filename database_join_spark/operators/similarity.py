@@ -1034,13 +1034,14 @@ def semdedup_pairs(
     # the ENTIRE assign — k·dim distance work per vector — runs
     # twice. Negligible at fixture k, but at k_for(n) scale the
     # assign is a real phase (round-12 ladder) and paying it once is
-    # the point; MEMORY_AND_DISK so a large corpus degrades to spill,
-    # not recompute.
-    from pyspark import StorageLevel
+    # the point. Routed through track_persist so the next gated
+    # query's configure_session drains it — a raw .persist here leaked
+    # one cached frame per call for the life of a shared session
+    # (ADVICE r12); track_persist's default level already degrades to
+    # disk spill, not recompute.
+    from database_join_spark.session import track_persist
 
-    blocks = kmeans_assign_topm(base, cents, m=m, ratio=ratio).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    blocks = track_persist(kmeans_assign_topm(base, cents, m=m, ratio=ratio))
     # Chunk-pair parallelism: one task per BLOCK serializes on a
     # skewed cluster (measured: a straggler block pinned the 300k
     # probe arm to one core for 15+ min while 31 sat idle). Blocks

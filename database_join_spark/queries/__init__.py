@@ -45,21 +45,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: membership in this set. History per id stays in STATUS.md
 #: (generated from the committed CORRECTNESS artifacts).
 #:
-#: Round-12 rotation (VERDICT r11 #5, rotation 10): retire the full
-#: 24-id r09 staleness tail — the TPC-H block (16 ids), the window
-#: family (3), udf/udtf (2), and text_langid/quality/winnow (3) —
-#: plus the 4-id flagship block, and — with exactly 22 slots free
-#: under the cap — the first 22 of the 46-id r10 tail in sorted
-#: order (through ``join_asof``; ``join_asof_bucketed`` and later
-#: wait for rotation 11, which inherits a 24-id tail). The r10-tail
-#: slice happens to include ``dedup_semantic``, ``dedup_substring``,
-#: and ``dedup_substring_apply`` — the operators round 12's k_for /
-#: exchange-sizing work touches, so the changed code re-proves under
-#: the driver in its change round. 24 + 4 + 22 = exactly the 50-row
-#: cap. Everything rotated out holds a fresh r10/r11 row and remains
-#: pytest-hash-compared every run (tests/test_oracle_parity.py).
-#: After this round no registry id's newest driver row is older than
-#: r10.
+#: Round-13 rotation (VERDICT r12 #6, rotation 11): retire the FULL
+#: 30-id r10 staleness tail (``dedup_incremental`` — deferred by
+#: rotation 10's explicit note — plus ``distinct_hll_sketch`` …
+#: ``variant_json``), keep the 4-id flagship block, and — with 16
+#: slots free under the cap — take the first 16 of the 46-id r11
+#: tail in sorted order (``agg_bucketed_exchange_free`` …
+#: ``dedup_ngram_jaccard``; the slice includes ``corpus_pipeline``
+#: and ``dedup_minhash``, both touched by round-13 sizing work).
+#: 30 + 4 + 16 = exactly the 50-row cap. Everything rotated out
+#: holds a fresh r11/r12 row and remains pytest-hash-compared every
+#: run (tests/test_oracle_parity.py). After this round no registry
+#: id's newest driver row is older than r11.
 #:
 #: Rotation history: r06 gave first rows to the r06-born ids except
 #: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
@@ -74,31 +71,35 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: (r11) retired the 21-id r08 tail + the three first-row entrants
 #: (``decontam_hashed``/``dedup_substring_hashed``/
 #: ``corpus_pipeline``) + the first 22 r09-tail ids — after r11 no
-#: id older than r09, every id with history. Rotation 10 is this
-#: one.
+#: id older than r09, every id with history. Rotation 10 (r12)
+#: retired the 24-id r09 tail + the flagship block, filled the 22
+#: free slots with 16 r10-tail ids (first 17 in sorted order minus
+#: ``dedup_incremental``, through ``dedup_substring_apply`` — the
+#: slice kept all three round-12-touched dedup operators) + the 6
+#: round-12-born TPC-H ids — after r12 no id older than r10.
+#: Rotation 11 is this one.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- newest row r09: the complete staleness tail (24 ids)
-    "text_langid", "text_quality", "text_winnow",
-    "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8",
-    "udf_surface", "udtf_surface",
-    "window_analytic", "window_distribution", "window_rank_topk",
-    # -- r10-tail refresh: first 17 of the 46 r10 ids in sorted
-    #    order minus dedup_incremental — the slice keeps all three
-    #    round-12-touched dedup operators; rotation 11 takes
-    #    dedup_incremental + distinct_hll_sketch…variant_json (30)
-    "agg_argmax", "agg_avg_int_ext", "agg_quantile_exact",
-    "agg_repartition_first", "anomaly_zscore", "bpe_pair_counts",
-    "chunk_documents", "corpus_clean", "corpus_mix",
-    "decontam_bloom", "decontam_ngram", "dedup_clusters",
-    "dedup_first_event", "dedup_semantic",
-    "dedup_substring", "dedup_substring_apply",
-    # -- round-12-born: the six adapted TPC-H queries (new ids gate
-    #    in their birth round)
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
-    "tpch_q20",
+    # -- newest row r10: the complete staleness tail (30 ids)
+    "dedup_incremental",
+    "distinct_hll_sketch", "embed_quantize", "event_funnel",
+    "heavy_hitters_approx", "join_asof", "join_asof_bucketed",
+    "join_bloom_prefilter", "join_range_binned", "join_salted",
+    "join_skew_auto", "ngram_counts", "pack_sequences", "pii_scrub",
+    "quality_gopher_rules", "quality_lm_surprisal",
+    "quality_repetition", "retention_cohorts", "sample_hash_split",
+    "sample_stratified", "sample_weighted", "seq_len_hist",
+    "sessionize_events", "stream_sliding", "text_vocab",
+    "tfidf_terms", "topic_kmeans", "udf_grouped", "udf_grouped_agg",
+    "variant_json",
+    # -- r11-tail refresh: first 16 of the 46 r11 ids in sorted
+    #    order (through dedup_ngram_jaccard); rotation 12 inherits
+    #    the remaining 30 (dedup_simhash … text_analysis)
+    "agg_bucketed_exchange_free", "agg_distinct",
+    "agg_grouping_sets", "agg_partial_cache", "agg_quantile_approx",
+    "agg_salted", "approx_distinct_fm", "array_map_json",
+    "corpus_pipeline", "datagen_synthetic", "decontam_hashed",
+    "decontam_minhash", "dedup_embed_cosine",
+    "dedup_exact_survivors", "dedup_minhash", "dedup_ngram_jaccard",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
     #    is re-proven under the driver every round)
     "agg_scalar_avg",

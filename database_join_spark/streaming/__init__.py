@@ -343,7 +343,13 @@ def ingest_neardedup_batch(
     from pathlib import Path
 
     from database_join_spark.operators import dedup as D
+    from database_join_spark.session import _PERSIST_POOL
 
+    # Snapshot the persist pool at batch entry: the cleanup at batch
+    # exit releases only frames THIS batch appended (ADVICE r12 —
+    # draining unconditionally could unpersist another in-flight
+    # query's cached frames on a shared session).
+    _pool_mark = len(_PERSIST_POOL)
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
     hs_frame = batch_df.select(
@@ -379,7 +385,14 @@ def ingest_neardedup_batch(
     buckets_dir = f"{state_dir.rstrip('/')}/buckets"
     sketches_dir = f"{state_dir.rstrip('/')}/sketches"
     surv_buckets = bb.join(dropped_in_batch, id_col, "left_anti")
-    if Path(buckets_dir).exists():
+    # Both stores must exist to probe: sketches are appended FIRST
+    # (below), so a crash between the two appends leaves an orphan
+    # sketch row (unreachable, harmless) rather than a bucket row
+    # whose sketch fetch would miss — and a first-batch crash can
+    # never leave buckets without a sketches dir, which used to
+    # hard-crash every subsequent batch on the sketches read
+    # (ADVICE r12).
+    if Path(buckets_dir).exists() and Path(sketches_dir).exists():
         # The store is the BIG side and it grows every batch; the
         # batch is bounded. Broadcasting the batch's bucket rows
         # probes the store as a map-side scan — NO shuffle of the
@@ -403,13 +416,21 @@ def ingest_neardedup_batch(
         # holding the reps instead of scanning every sketch ever
         # admitted. Past _ISIN_FETCH_MAX candidates the plan falls
         # back to the join spelling (a literal list that large stops
-        # being a filter and starts being a table).
-        rep_ids = [
-            r["rep_id"]
-            for r in hit_pairs.select("rep_id").distinct().collect()
-        ]
+        # being a filter and starts being a table). The probe is
+        # limit-bounded BEFORE any full collect — collecting all ids
+        # first and only then comparing against the max would bound
+        # the In-filter but not driver memory, so a hot bucket or
+        # high-duplicate crawl could still OOM the driver (ADVICE
+        # r12): at most _ISIN_FETCH_MAX+1 ids ever reach the driver.
+        probe = (
+            hit_pairs.select("rep_id")
+            .distinct()
+            .limit(_ISIN_FETCH_MAX + 1)
+            .collect()
+        )
         sketches = spark.read.parquet(sketches_dir)
-        if len(rep_ids) <= _ISIN_FETCH_MAX:
+        if len(probe) <= _ISIN_FETCH_MAX:
+            rep_ids = [r["rep_id"] for r in probe]
             rep_rows = sketches.filter(
                 F.col(id_col).isin(rep_ids)
                 if rep_ids
@@ -440,21 +461,27 @@ def ingest_neardedup_batch(
     # ---- 3. admit: append survivors' state, return the frame
     surv = surv.localCheckpoint(eager=True)
     admitted_ids = surv.select(id_col)
-    surv_buckets.join(admitted_ids, id_col, "left_semi").write.mode(
-        "append"
-    ).parquet(buckets_dir)
+    # Sketches append BEFORE buckets: a failure between the two
+    # leaves an orphan sketch (no bucket row ever routes a probe to
+    # it — unreachable, harmless), whereas the old bucket-first
+    # order left bucket rows whose sketch fetch silently missed
+    # (ADVICE r12). Idempotence across restarts remains the
+    # checkpointed sink's job, as the docstring declares.
     surv_hs.join(admitted_ids, id_col, "left_semi").write.mode(
         "append"
     ).parquet(sketches_dir)
+    surv_buckets.join(admitted_ids, id_col, "left_semi").write.mode(
+        "append"
+    ).parquet(buckets_dir)
     # pair_payloads track_persist()s its candidate frame expecting
     # the NEXT QUERY's configure_session to drain the pool — a
     # foreachBatch loop has no next query, so the pool would grow
     # one cached frame per micro-batch for the life of the stream.
-    # Both state appends above have executed, so release is safe
-    # here.
-    from database_join_spark.session import _PERSIST_POOL
-
-    while _PERSIST_POOL:
+    # Only frames appended SINCE THIS BATCH'S ENTRY are released
+    # (the entry snapshot below): draining the whole pool would
+    # unpersist frames belonging to another in-flight query sharing
+    # the session whose results are not collected yet (ADVICE r12).
+    while len(_PERSIST_POOL) > _pool_mark:
         try:
             _PERSIST_POOL.pop().unpersist(blocking=False)
         except Exception:
