@@ -56,10 +56,10 @@ def main() -> None:
         cached_statistic,
         parquet_table_key,
     )
-    from database_join_spark.queries import load_all
-    from database_join_spark.queries.pipeline import (
-        _EXCHANGE_ROWS_PER_DOC,
+    from database_join_spark.plans.stats import (
+        mean_tokens_per_doc_cached,
     )
+    from database_join_spark.queries import load_all
     from database_join_spark.session import get_spark
 
     spark = get_spark(app_name="sized-exchange-probe")
@@ -84,13 +84,21 @@ def main() -> None:
         .parquet(f"{sf_dir}/documents.parquet")
     )
 
+    # Round 13: the multiplier is MEASURED per table version (mean
+    # tokens/doc from a sampled scan, VERDICT r12 #3) — the probe
+    # predicts with the same catalog statistic the operator reads.
+    rows_per_doc, _hit = mean_tokens_per_doc_cached(
+        spark, f"{sf_dir}/documents.parquet"
+    )
     out: dict = {
         "n_docs": n,
         "cores": cores,
-        "rows_per_doc_estimate": _EXCHANGE_ROWS_PER_DOC,
+        "rows_per_doc_estimate": rows_per_doc,
         "host_start": host_snapshot(),
     }
-    predicted = shuffle_partitions_for(n * _EXCHANGE_ROWS_PER_DOC, cores)
+    predicted = shuffle_partitions_for(
+        int(n * rows_per_doc), cores
+    )
     out["planner_predicted_partitions"] = predicted
 
     # session at the default; the operator must turn the knob itself
