@@ -824,6 +824,225 @@ def kmeans_assign_topm_np(
     )
 
 
+#: Coarse-level probe cap / ratio for the two-level assign: a vector
+#: probes its ``COARSE_PROBE_M`` nearest coarse cells, pruned by the
+#: same exact int64 prefix rule as the fine level (``d²_c·q ≤
+#: d²_cmin·p``). The coarse probe must be WIDER than the fine one —
+#: the fine top-m can only be found inside probed cells, so a missed
+#: coarse cell silently truncates the candidate set. At 8/2.0 the 1M
+#: probe (k=k_for=1000) measured emitted-row deviation vs the flat
+#: assign on identical centroids at 2·10⁻⁶ — 8 rows of 4.04M, under
+#: BOTH the shipped ratio-capped spelling and the uncapped m=4 —
+#: while pruning the fine work to ≤ coarse_m of √k cells
+#: (SEMDEDUP_TWOLEVEL_PROBE.json; the well-separated fixture pin in
+#: tests/test_pipeline.py is exactly zero).
+COARSE_PROBE_M = 8
+COARSE_PROBE_RATIO = 2.0
+
+
+def centroid_router(
+    centroids: list[list[int]], kc: int, iterations: int = 8
+):
+    """Group ``k`` fine centroids into ``kc`` coarse cells by running
+    exact int64 Lloyd's ON THE CENTROIDS THEMSELVES — k rows of
+    driver-side numpy (k·kc·dim work per iteration; at the SemDeDup
+    paper's 110k-cluster scale with kc=√k≈332 and dim 64 that is
+    ~2.3e9 integer ops — single-digit seconds, once per assign).
+    This is what makes the two-level assign bit-compatible with the
+    flat one: the FINE centroids are untouched (same fit, same
+    coordinates), the router only adds a coarse index over them —
+    IVF over centroids instead of a hierarchical re-fit, so any
+    probe that covers the true top-m cells reproduces the flat
+    output exactly.
+
+    Same determinism discipline as :func:`kmeans_fit`: init = first
+    ``kc`` centroids in index order, nearest = first minimum (lowest
+    index on ties), update = exact floor mean, an emptied cell keeps
+    its previous center. Cells left WITHOUT members are dropped from
+    the returned router (a probe routed to an empty cell would
+    contribute zero candidates and could leave a vector with no
+    home block).
+
+    Returns ``(coarse, cell_of)``: the kc'×dim coarse matrix
+    (kc' ≤ kc after empty-cell drop) and the per-fine-centroid cell
+    index (int32, 0-based into ``coarse``).
+    """
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.int64)
+    k = len(cents)
+    kc = max(1, min(kc, k))
+    coarse = cents[:kc].copy()
+    cell = np.zeros(k, dtype=np.int64)
+    for _ in range(iterations):
+        n2c = np.einsum("ij,ij->i", coarse, coarse)
+        cell = np.argmin(_np_sqdists(cents, coarse, n2c), axis=1)
+        for j in range(kc):
+            members = cents[cell == j]
+            if len(members):
+                coarse[j] = members.sum(axis=0) // len(members)
+    n2c = np.einsum("ij,ij->i", coarse, coarse)
+    cell = np.argmin(_np_sqdists(cents, coarse, n2c), axis=1)
+    live = np.unique(cell)
+    remap = np.full(kc, -1, dtype=np.int64)
+    remap[live] = np.arange(len(live))
+    return coarse[live], remap[cell].astype(np.int32)
+
+
+def kmeans_assign_topm_2l(
+    base: DataFrame,
+    centroids: list[list[int]],
+    m: int,
+    ratio: float | None = None,
+    coarse_m: int = COARSE_PROBE_M,
+    coarse_ratio: float | None = COARSE_PROBE_RATIO,
+) -> DataFrame:
+    """Two-level (coarse → fine-within-cell) spelling of
+    :func:`kmeans_assign_topm_np` for the k_for(n) regime where even
+    the GEMM assign's n·k distance work is the leading super-linear
+    term (k ∝ n ⇒ n·k ∝ n²; VERDICT r12 #2). Per vector: one GEMM
+    against the kc ≈ √k coarse centers from :func:`centroid_router`,
+    a ratio-capped coarse probe picks ≤ ``coarse_m`` cells, and only
+    those cells' fine centroids are scored — n·(kc + coarse_m·k/kc)
+    ≈ n·√k work instead of n·k.
+
+    Output contract: the fine centroids and every distance are the
+    SAME exact int64 values as the flat path (the router never
+    touches them), per-row candidates merge in the identical stable
+    (d², index) order, and the same m-cap + ratio-prefix rule
+    applies — so wherever the coarse probe covers the true top-m
+    cells the emitted rows are bit-identical to
+    :func:`kmeans_assign_topm_np` (pinned exact at fixture scale by
+    tests/test_pipeline.py; at 1M/k=1000 the measured deviation is
+    8 rows of 4.04M = 2·10⁻⁶, SEMDEDUP_TWOLEVEL_PROBE.json — a
+    true 4th-nearest centroid in an unprobed cell, the documented
+    bounded regime). A vector always probes its
+    nearest coarse cell, and the router guarantees every cell is
+    non-empty, so every vector keeps at least one block.
+
+    Same map-only shape as the flat spellings: centroid matrices
+    ship once per executor as one Spark broadcast, no shuffle, one
+    exploded (id, qv, block) row per surviving probe.
+    """
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from database_join_spark.plans.sizing import coarse_k_for
+
+    pq = None if ratio is None else _snap_ratio(ratio)
+    cpq = None if coarse_ratio is None else _snap_ratio(coarse_ratio)
+    cents = np.asarray(centroids, dtype=np.int64)
+    k = len(cents)
+    coarse, cell_of = centroid_router(cents, coarse_k_for(k))
+    kc = len(coarse)
+    mc = max(1, min(coarse_m, kc))
+    # Permute fine centroids into cell-contiguous order so each
+    # probed cell is one matrix slice; global block ids (1-based,
+    # identical to the flat path's column index + 1) ride alongside.
+    perm = np.lexsort((np.arange(k), cell_of))
+    grouped = cents[perm]
+    ids_g = (perm + 1).astype(np.int64)
+    n2g = np.einsum("ij,ij->i", grouped, grouped)
+    cell_start = np.searchsorted(
+        cell_of[perm], np.arange(kc + 1)
+    ).astype(np.int64)
+    n2coarse = np.einsum("ij,ij->i", coarse, coarse)
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(
+        (coarse, n2coarse, grouped, ids_g, n2g, cell_start)
+    )
+    # Tile budget: the candidate matrix is ~coarse_m·(k/kc) columns
+    # per row (plus the kc coarse columns) — same 2^24-cell
+    # discipline as the flat assign.
+    mean_cell = max(1, -(-k // kc))
+    tile_rows = max(
+        1, _ASSIGN_TILE_CELLS // max(kc, mc * mean_cell)
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        C, n2C, G, IDS, n2G, STARTS = bc.value
+        kc_l = len(C)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv_obj = pdf["qv"].to_numpy()
+            ids_all = pdf["id"].to_numpy()
+            for lo in range(0, len(pdf), tile_rows):
+                sl = slice(lo, min(lo + tile_rows, len(pdf)))
+                q = np.stack(qv_obj[sl]).astype(np.int64, copy=False)
+                nt = len(q)
+                # -- coarse probe: stable top-mc + ratio prefix
+                d2c = _np_sqdists(q, C, n2C)
+                order_c, sorted_c = _topm_exact(d2c, mc)
+                if cpq is None:
+                    keep_c = np.ones(order_c.shape, dtype=bool)
+                else:
+                    p_c, q_c = cpq
+                    keep_c = (
+                        sorted_c * q_c <= sorted_c[:, :1] * p_c
+                    )
+                probe_rows = np.repeat(
+                    np.arange(nt), keep_c.sum(axis=1)
+                )
+                probe_cells = order_c[keep_c]
+                # -- fine scoring, one GEMM per probed cell
+                o = np.argsort(probe_cells, kind="stable")
+                pr = probe_rows[o]
+                pc_sorted = probe_cells[o]
+                bounds = np.searchsorted(
+                    pc_sorted, np.arange(kc_l + 1)
+                )
+                cr_parts, ci_parts, cd_parts = [], [], []
+                for c in np.unique(pc_sorted):
+                    rows_c = pr[bounds[c] : bounds[c + 1]]
+                    s, e = STARTS[c], STARTS[c + 1]
+                    d2f = _np_sqdists(q[rows_c], G[s:e], n2G[s:e])
+                    # Per-cell top-m BEFORE the global merge: the
+                    # per-row top-m over the candidate union equals
+                    # the top-m over each cell's own top-m (a global
+                    # winner is a winner in its cell), and within a
+                    # cell the fine ids ascend with the local column
+                    # index (the router's lexsort), so _topm_exact's
+                    # stable (value, local index) order IS the
+                    # (value, global id) order the merge needs —
+                    # candidates drop from probes·k/kc to probes·m
+                    # per row (~11× less lexsort mass at k=4000).
+                    mm = min(m, e - s)
+                    loc, locd = _topm_exact(d2f, mm)
+                    cr_parts.append(np.repeat(rows_c, mm))
+                    ci_parts.append(IDS[s:e][loc].ravel())
+                    cd_parts.append(locd.ravel())
+                cr = np.concatenate(cr_parts)
+                ci = np.concatenate(ci_parts)
+                cd = np.concatenate(cd_parts)
+                # -- per-row stable (d², id) merge + m-cap + ratio
+                o2 = np.lexsort((ci, cd, cr))
+                cr, ci, cd = cr[o2], ci[o2], cd[o2]
+                counts = np.bincount(cr, minlength=nt)
+                starts = np.concatenate(
+                    ([0], np.cumsum(counts[:-1]))
+                )
+                pos = np.arange(len(cr)) - np.repeat(starts, counts)
+                keep = pos < m
+                if pq is not None:
+                    p, qd = pq
+                    dmin = np.repeat(cd[starts], counts)
+                    keep &= cd * qd <= dmin * p
+                yield pd.DataFrame(
+                    {
+                        "id": ids_all[sl][cr[keep]],
+                        "qv": qv_obj[sl][cr[keep]],
+                        "block": ci[keep].astype(np.int32),
+                    }
+                )
+
+    return base.select("id", "qv").mapInPandas(
+        assign, schema="id long, qv array<long>, block int"
+    )
+
+
 def kmeans_assign_np(
     base: DataFrame, centroids: list[list[int]]
 ) -> DataFrame:
@@ -872,6 +1091,14 @@ def kmeans_assign_np(
     )
 
 
+def _twolevel_min_k() -> int:
+    """Late import of the sizing threshold (keeps operators → plans
+    a one-way, call-time edge)."""
+    from database_join_spark.plans.sizing import TWOLEVEL_ASSIGN_MIN_K
+
+    return TWOLEVEL_ASSIGN_MIN_K
+
+
 def kmeans_assign_topm(
     base: DataFrame,
     centroids: list[list[int]],
@@ -906,13 +1133,25 @@ def kmeans_assign_topm(
     ``impl``: ``"literal"`` forces the literal-centroid JVM plan,
     ``"np"`` the broadcast/GEMM Arrow spelling
     (:func:`kmeans_assign_topm_np` — bit-identical output),
+    ``"np2l"`` the two-level quantizer
+    (:func:`kmeans_assign_topm_2l` — n·√k work, identical output
+    wherever the coarse probe covers the true top-m cells);
     ``"auto"`` picks np past :data:`LITERAL_ASSIGN_MAX_K` centroids
     (where the literal expression tree stops being viable and BLAS
-    wins the O(k·dim)-per-row fold).
+    wins the O(k·dim)-per-row fold), and np2l past
+    :data:`~database_join_spark.plans.sizing.TWOLEVEL_ASSIGN_MIN_K`
+    (where under k_for's k ∝ n the flat n·k GEMM becomes the last
+    super-linear SemDeDup term).
     """
     k = len(centroids)
-    if impl not in ("auto", "literal", "np"):
-        raise ValueError(f"impl must be auto|literal|np, got {impl!r}")
+    if impl not in ("auto", "literal", "np", "np2l"):
+        raise ValueError(
+            f"impl must be auto|literal|np|np2l, got {impl!r}"
+        )
+    if impl == "np2l" or (
+        impl == "auto" and k >= _twolevel_min_k()
+    ):
+        return kmeans_assign_topm_2l(base, centroids, m, ratio)
     if impl == "np" or (impl == "auto" and k > LITERAL_ASSIGN_MAX_K):
         return kmeans_assign_topm_np(base, centroids, m, ratio)
     dists = F.array(

@@ -715,3 +715,59 @@ def fit_sample_mod_for(
     samples independently.
     """
     return max(1, n_vectors // max(1, rows_per_centroid * k))
+
+
+#: Centroid count past which ``kmeans_assign_topm(impl="auto")``
+#: routes the full-corpus assign through the two-level (coarse √k →
+#: fine-within-cell) quantizer instead of the flat GEMM. The flat
+#: assign does n·k distance work — under :func:`k_for`'s k ∝ n that
+#: is the last super-linear term in SemDeDup (VERDICT r12 #2); the
+#: two-level path does n·(√k + coarse_m·√k). Crossover measured by
+#: SEMDEDUP_TWOLEVEL_PROBE.json: at 1M vectors the two-level assign
+#: wins every rung from k=1000 up (1.83× at k=1000, 2.0–2.1× at
+#: k=2048/3162, identical emitted-row counts; the 50k smoke shows
+#: flat still ahead at k ≤ 316: 0.88×/0.71×), so the threshold sits
+#: at the first measured winning rung — which is exactly the k_for
+#: ladder's 1M point, so corpora from 1M vectors up take the
+#: two-level path and fixture-scale runs keep the flat plan.
+TWOLEVEL_ASSIGN_MIN_K = 1000
+
+
+def coarse_k_for(k: int) -> int:
+    """Coarse cell count for the two-level assign: ⌈√k⌉ balances the
+    two GEMM terms (coarse kc + fine probed·k/kc per vector — the
+    sum is minimized at kc = √(probed·k), and probed is a small
+    constant, so √k is within √probed of optimal while keeping the
+    router's driver-side fit at k·√k work)."""
+    return max(1, math.ceil(math.sqrt(k)))
+
+
+#: Measured amortization inputs for the groups=1e8 bucketed layout
+#: (BENCH_r12.json, 1e9-row fact, 128 buckets on the group key):
+#: one-time build 114.57 s; per-query saving = inline repartition-
+#: first floor 36.41 s − bucketed warm 6.43 s ≈ 30 s. The same pair
+#: for the large_inner probe-side layout: build 23.23 s, saving
+#: 5.26 − 0.78 ≈ 4.5 s.
+BUCKETED_G1E8_BUILD_SEC = 114.57
+BUCKETED_G1E8_SAVING_SEC = 36.41 - 6.43
+
+
+def layout_breakeven(
+    build_sec: float = BUCKETED_G1E8_BUILD_SEC,
+    per_query_saving_sec: float = BUCKETED_G1E8_SAVING_SEC,
+) -> int:
+    """Number of queries after which a write-once bucketed layout
+    PAYS: the smallest n with n·saving ≥ build (round 13, VERDICT
+    r12 #8 — the estimate-before-execute discipline applied to the
+    last hand decision). With the measured groups=1e8 numbers the
+    answer is 4: a fact queried fewer than 4 times on its group key
+    should stay inline (the 36 s floor is cheaper than 115 s of
+    build it would never amortize); at 4+ the layout wins and every
+    further query banks ~30 s. Advisory — the engine cannot know
+    future query counts — but it turns "bucket it?" from taste into
+    arithmetic a catalog (or a human) can apply; infinity (a layout
+    that never pays) comes back as a large sentinel when the saving
+    is non-positive."""
+    if per_query_saving_sec <= 0:
+        return 1 << 31
+    return max(1, math.ceil(build_sec / per_query_saving_sec))

@@ -244,6 +244,67 @@ def parquet_rowcount(table_dir: str) -> int:
     )
 
 
+#: Sample size for the mean-tokens-per-doc statistic: 10k docs reads
+#: ~one parquet file/row-group and pins the mean to a few percent —
+#: the sizing rule rounds to multiples of the core count anyway, so
+#: estimator noise cannot change the decision by more than one wave.
+TOKEN_STAT_SAMPLE_ROWS = 10_000
+
+
+def sampled_mean_tokens_per_doc(
+    spark,
+    table_dir: str,
+    text_col: str = "text",
+    sample_rows: int = TOKEN_STAT_SAMPLE_ROWS,
+) -> float:
+    """Mean whitespace-token count per document over a bounded
+    sample — the SAME tokenizer the heavy documents-table operators
+    shuffle one row per token position of
+    (``operators/text.TOKENS_SQL``; ExactSubstr's window keys and
+    MinHash's shingles both fan out ~size(tokens) rows/doc). One
+    ``limit``-bounded column-pruned scan; floor of 1.0 so a
+    degenerate/empty sample can never zero the exchange estimate."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.operators.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(c=text_col)
+    row = (
+        spark.read.parquet(table_dir)
+        .select(text_col)
+        .limit(sample_rows)
+        .agg(F.avg(F.expr(f"size({toks})")).alias("t"))
+        .collect()[0]["t"]
+    )
+    return max(1.0, float(row)) if row is not None else 1.0
+
+
+def mean_tokens_per_doc_cached(
+    spark,
+    table_dir: str,
+    text_col: str = "text",
+    sample_rows: int = TOKEN_STAT_SAMPLE_ROWS,
+    path: Path | str | None = None,
+) -> tuple[float, bool]:
+    """:func:`sampled_mean_tokens_per_doc` through the statistics
+    catalog (VERDICT r12 #3: the exchange multiplier was a constant
+    calibrated on the probe corpus's ~93 tokens/doc — a corpus with
+    4× longer documents under-sized its exchange by exactly the
+    failure the rule exists to prevent; measuring per table version
+    makes the multiplier an input, not a calibration). Keyed on the
+    table fingerprint like every other catalog statistic — appends
+    or rewrites re-measure."""
+    val, hit = cached_statistic(
+        parquet_table_key(table_dir),
+        f"mean_tokens|col={text_col}|sample={sample_rows}",
+        lambda: sampled_mean_tokens_per_doc(
+            spark, table_dir, text_col, sample_rows
+        ),
+        path=path,
+    )
+    return float(val), hit
+
+
 def sized_shuffle_for_table(
     spark,
     table_dir: str,

@@ -41,34 +41,51 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents")
 
 
-#: Dominant-exchange multiplier for the heavy documents-table
-#: operators: the ExactSubstr window-key groupBy and the MinHash
-#: shingle/signature exchange both carry ~one row per token position
-#: per doc — measured ~93 at the fixture/probe token geometry
-#: (PIPELINE_SCALE_PROBE.json: 93M window rows at 1M docs, the
-#: calibration point of plans.sizing.shuffle_partitions_for).
-_EXCHANGE_ROWS_PER_DOC = 93
-
-
 def _size_exchanges(
     spark: SparkSession,
     sf_dir: str,
-    rows_per_doc: float = _EXCHANGE_ROWS_PER_DOC,
+    rows_per_doc: float | None = None,
+    rows_per_task: int | None = None,
+    path=None,
 ) -> None:
     """Size the session's shuffle partitions for a heavy
     documents-table query (VERDICT r11 #4 — the calibrated rule had
-    no product callers): cached parquet-footer row count ×
-    ``rows_per_doc`` through :func:`plans.sizing.
-    shuffle_partitions_for`. At fixture scale this lands exactly on
-    the session default (floor = cores) — gate plans unchanged; past
-    ~1M docs it scales the exchange with the input, which the r11
-    sweep measured at 1.5×-and-growing when left at the default."""
-    from ..plans.stats import sized_shuffle_for_table
+    no product callers): cached parquet-footer row count × the
+    table's MEASURED mean tokens per doc, through
+    :func:`plans.sizing.shuffle_partitions_for`. The dominant
+    exchanges here — ExactSubstr's window-key groupBy and MinHash's
+    shingle/signature shuffle — carry ~one row per token position
+    per doc, so tokens/doc IS the fan-out multiplier; until round 13
+    it was a constant 93 calibrated on the probe corpus
+    (PIPELINE_SCALE_PROBE.json's geometry), which under-sized the
+    exchange by exactly the length ratio on longer-document corpora
+    (VERDICT r12 #3). Both statistics come from the catalog (row
+    count from parquet footers, tokens/doc from a 10k-doc sampled
+    scan, each paid once per table version). At fixture scale the
+    rule lands exactly on the session default (floor = cores) —
+    gate plans unchanged; past ~1M docs it scales the exchange with
+    the input, which the r11 sweep measured at 1.5×-and-growing
+    when left at the default."""
+    from pathlib import Path
 
+    from ..plans.stats import (
+        mean_tokens_per_doc_cached,
+        sized_shuffle_for_table,
+    )
+
+    table_dir = f"{sf_dir.rstrip('/')}/documents.parquet"
+    if rows_per_doc is None:
+        if not Path(table_dir).exists():
+            return
+        rows_per_doc, _ = mean_tokens_per_doc_cached(
+            spark, table_dir, path=path
+        )
     sized_shuffle_for_table(
         spark,
-        f"{sf_dir.rstrip('/')}/documents.parquet",
+        table_dir,
         rows_per_input_row=rows_per_doc,
+        rows_per_task=rows_per_task,
+        path=path,
     )
 
 

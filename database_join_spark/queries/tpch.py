@@ -1130,6 +1130,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s_acctbal DESC, n_name, s_name, partkey, suppkey
     LIMIT 100
     """,
+    bench=True,
     tags=("tpch",),
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,6 +1243,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_name LIKE '%bolt%'
     GROUP BY n_name, EXTRACT(year FROM o_orderdate)
     """,
+    bench=True,
     tags=("tpch",),
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,6 +1499,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND s_nationkey IN (2, 3, 4)
     ORDER BY s_name, suppkey
     """,
+    bench=True,
     tags=("tpch",),
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,6 +271,93 @@ def corpus_ingest_dedup(stream: DataFrame) -> DataFrame:
 #: literal; past this, fall back to a broadcast semi-join.
 _ISIN_FETCH_MAX = 100_000
 
+#: Cross-batch cache of the DECODED bucket store, keyed by store dir
+#: (round 13, VERDICT r12 #3-residual). The store is append-only and
+#: every batch probes ALL of it, so re-reading + re-decoding the
+#: whole parquet store per batch pays the full decode for rows that
+#: were identical last batch — the measured residual slope
+#: (STREAM_INGEST_NEARDUP_PROBE arm 2: 25.2 → 32.6 s/batch over 20
+#: batches at 2M docs). Range/partition pruning CANNOT fix this:
+#: LSH buckets are uniform hashes, so a batch's ~1M probed buckets
+#: overlap every file's bucket range with probability ~1 — no
+#: file-stat scheme skips anything. What is reducible is the
+#: re-decode: each entry holds the persisted frame over the files
+#: already consumed, and a batch unions in only the NEW append
+#: files (one sorted file per batch, see the append below) — per
+#: batch parquet IO becomes O(delta) while the probe's CPU over the
+#: cached rows stays the irreducible O(state) hash-probe (24 B/row,
+#: distributes across the fleet). MEMORY_AND_DISK, so a large store
+#: degrades to spill, not recompute; a restart simply rebuilds from
+#: the files (cold read once). Deliberately NOT in _PERSIST_POOL —
+#: the pool is for intra-query temporaries, this is cross-batch
+#: state with an explicit lifecycle (:func:`clear_neardedup_cache`).
+#: Entries rebuild from scratch every _STORE_REBUILD_EVERY unions so
+#: the union plan depth stays bounded.
+_STORE_CACHE: dict = {}
+_STORE_REBUILD_EVERY = 64
+
+
+def clear_neardedup_cache(state_dir: str | None = None) -> None:
+    """Release the cached bucket-store frames (all, or one store's).
+    Call when a stream is stopped/abandoned; a restarted stream does
+    not need it (the cache detects new files and rebuilds)."""
+    keys = (
+        [k for k in _STORE_CACHE if state_dir is None or k.startswith(
+            state_dir.rstrip("/")
+        )]
+    )
+    for k in keys:
+        frame, _seen, _unions = _STORE_CACHE.pop(k)
+        try:
+            frame.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+def _bucket_store_frame(spark, buckets_dir: str):
+    """The accumulated bucket store as a persisted DataFrame, updated
+    incrementally: returns the cached frame unioned with any files
+    appended since the last call (materialized before the previous
+    increment is released, so no window recomputes the old rows from
+    parquet). Returns None when the store has no data files yet."""
+    from pathlib import Path
+
+    from pyspark import StorageLevel
+
+    files = sorted(
+        str(p) for p in Path(buckets_dir).rglob("*.parquet")
+    )
+    if not files:
+        return None
+    fileset = set(files)
+    entry = _STORE_CACHE.get(buckets_dir)
+    if entry is not None:
+        frame, seen, unions = entry
+        if seen == fileset:
+            return frame
+        new = sorted(fileset - seen)
+        if seen <= fileset and unions < _STORE_REBUILD_EVERY:
+            nf = frame.unionByName(
+                spark.read.parquet(*new)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nf.count()  # materialize before releasing the old frame
+            frame.unpersist(blocking=False)
+            _STORE_CACHE[buckets_dir] = (nf, fileset, unions + 1)
+            return nf
+        # compaction/rewrite under us, or depth budget reached
+        frame.unpersist(blocking=False)
+        _STORE_CACHE.pop(buckets_dir, None)
+    # Explicit FILE paths, never the directory: a directory-based
+    # plan re-lists on recompute and silently absorbs files appended
+    # after the snapshot — double-counting rows whenever the cache
+    # misses or an increment recomputes (caught by the round-13
+    # lifecycle test). Pinned paths read exactly the snapshot.
+    nf = spark.read.parquet(*files).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _STORE_CACHE[buckets_dir] = (nf, fileset, 0)
+    return nf
+
 
 def ingest_neardedup_batch(
     batch_df: DataFrame,
@@ -392,15 +479,20 @@ def ingest_neardedup_batch(
     # never leave buckets without a sketches dir, which used to
     # hard-crash every subsequent batch on the sketches read
     # (ADVICE r12).
+    store_b = None
     if Path(buckets_dir).exists() and Path(sketches_dir).exists():
         # The store is the BIG side and it grows every batch; the
         # batch is bounded. Broadcasting the batch's bucket rows
         # probes the store as a map-side scan — NO shuffle of the
         # store, ever (the first probe run's shuffle-join spelling
         # measured batch seconds growing 21 → 81 s over 20 batches
-        # at 2M docs; the store scan itself is the only per-batch
-        # cost that remains, and it's a cheap columnar read).
-        store_b = spark.read.parquet(buckets_dir)
+        # at 2M docs). Round 13: the scan reads the store through
+        # the incremental decoded-frame cache, so per-batch parquet
+        # IO is the last append only (see _STORE_CACHE — uniform
+        # LSH buckets make file-range pruning impossible, caching
+        # the decode is the reducible part).
+        store_b = _bucket_store_frame(spark, buckets_dir)
+    if store_b is not None:
         hit_pairs = (
             store_b.withColumnRenamed(id_col, "rep_id")
             .join(F.broadcast(surv_buckets), ["band", "bucket"])
@@ -467,10 +559,21 @@ def ingest_neardedup_batch(
     # order left bucket rows whose sketch fetch silently missed
     # (ADVICE r12). Idempotence across restarts remains the
     # checkpointed sink's job, as the docstring declares.
-    surv_hs.join(admitted_ids, id_col, "left_semi").write.mode(
-        "append"
-    ).parquet(sketches_dir)
-    surv_buckets.join(admitted_ids, id_col, "left_semi").write.mode(
+    # One file per append, rows sorted: sketches by id (keeps the
+    # append id-ranged so the rep fetch's In-filter prunes files by
+    # row-group stats), buckets by (band, bucket) (delta-encodes the
+    # sorted int64 buckets — smaller store, cheaper cold rebuild).
+    # The append mass is micro-batch-bounded (~batch_docs·bands
+    # 24 B rows), so the single write task is not a bottleneck; a
+    # larger trigger interval simply writes a larger single file.
+    surv_hs.join(admitted_ids, id_col, "left_semi").coalesce(
+        1
+    ).sortWithinPartitions(id_col).write.mode("append").parquet(
+        sketches_dir
+    )
+    surv_buckets.join(admitted_ids, id_col, "left_semi").coalesce(
+        1
+    ).sortWithinPartitions("band", "bucket").write.mode(
         "append"
     ).parquet(buckets_dir)
     # pair_payloads track_persist()s its candidate frame expecting

@@ -90,10 +90,16 @@ def synth_corpus(spark, n: int):
         "array(" + ", ".join(f"{x:.6f}D" for x in row) + ")"
         for row in centers
     )
+    # The noise literals carry the D suffix: an un-suffixed 1000.0
+    # parses as DECIMAL(5,1), and bigint/decimal division evaluates
+    # on the interpreted BigDecimal path inside this (already
+    # non-codegen) higher-order transform — measured as the entire
+    # 4M-synth bottleneck in round 13 (stage thread dump: 28 cores
+    # in Decimal.$div; double literals generate plain IEEE ops).
     base_expr = (
         f"transform(sequence(0, {DIM - 1}), i -> "
         f"element_at(array({lit}), CAST(base_id % {DOMAINS} AS INT) + 1)[i]"
-        f" + (pmod(xxhash64(base_id, i), 1000) / 1000.0 - 0.5))"
+        f" + (pmod(xxhash64(base_id, i), 1000) / 1000.0D - 0.5D))"
     )
     base = spark.range(n).select(
         F.col("id").alias("vec_id"), F.col("id").alias("base_id")
@@ -112,7 +118,7 @@ def synth_corpus(spark, n: int):
     vec = (
         f"transform(sequence(0, {DIM - 1}), i -> CAST(b[i] + "
         f"IF(vec_id >= {n}, (pmod(xxhash64(vec_id, i, 99), 1000) "
-        f"/ 1000.0 - 0.5) * {TWIN_NOISE}, 0.0) AS FLOAT))"
+        f"/ 1000.0D - 0.5D) * {TWIN_NOISE}D, 0.0D) AS FLOAT))"
     )
     return both.select(
         "vec_id", F.expr(vec).alias("embedding")

@@ -950,3 +950,66 @@ def test_topm_exact_matches_stable_argsort_under_ties():
     d2 = rng.integers(0, 3, size=(5, 3)).astype(np.int64)
     order, _ = _topm_exact(d2, 8)
     assert (order == np.argsort(d2, axis=1, kind="stable")).all()
+
+
+def test_twolevel_assign_matches_flat_and_dispatches(spark, monkeypatch):
+    """Round-13 two-level quantizer (VERDICT r12 #2): on the shipped
+    SemDeDup spellings (ratio-capped m=4 and nearest-only m=1) the
+    coarse→fine assign must emit the BIT-IDENTICAL (id, block) set as
+    the flat GEMM — the router never touches the fine centroids, so
+    any probe covering the true top-m cells reproduces the flat
+    output exactly. Also pins the router invariants (every returned
+    cell non-empty, indexes dense) and that impl="auto" routes
+    through the two-level path once k crosses the sizing threshold."""
+    import numpy as np
+
+    from database_join_spark.catalog import table
+    from database_join_spark.operators import similarity as S
+    from database_join_spark.plans import sizing
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    _, cents, _ = S.kmeans_fit(emb, k=24, iterations=2)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(S._quant("embedding")).alias("qv"),
+    )
+    for m, ratio in ((4, 1.5), (1, None)):
+        flat = {
+            (r["id"], r["block"])
+            for r in S.kmeans_assign_topm(
+                base, cents, m=m, ratio=ratio, impl="np"
+            ).collect()
+        }
+        two = {
+            (r["id"], r["block"])
+            for r in S.kmeans_assign_topm(
+                base, cents, m=m, ratio=ratio, impl="np2l"
+            ).collect()
+        }
+        assert flat == two, (m, ratio)
+    # router invariants: dense 0-based cells, every cell non-empty,
+    # coarse rows = number of live cells
+    coarse, cell_of = S.centroid_router(
+        cents, sizing.coarse_k_for(len(cents))
+    )
+    assert cell_of.min() == 0
+    assert cell_of.max() == len(coarse) - 1
+    assert set(np.unique(cell_of)) == set(range(len(coarse)))
+    # auto-dispatch: k >= threshold routes through the 2l spelling
+    calls = []
+    real = S.kmeans_assign_topm_2l
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "kmeans_assign_topm_2l", spy)
+    monkeypatch.setattr(sizing, "TWOLEVEL_ASSIGN_MIN_K", 24)
+    S.kmeans_assign_topm(base, cents, m=4, ratio=1.5, impl="auto")
+    assert calls, "auto did not dispatch to the two-level assign"
+    # and BELOW the threshold auto stays flat
+    calls.clear()
+    monkeypatch.setattr(sizing, "TWOLEVEL_ASSIGN_MIN_K", 25)
+    S.kmeans_assign_topm(base, cents, m=4, ratio=1.5, impl="auto")
+    assert not calls

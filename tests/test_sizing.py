@@ -546,3 +546,114 @@ def test_fit_sample_mod_for_bounds_sample_at_rows_per_centroid():
     for n, k in ((10**6, 100), (10**7, 1000), (10**8, 25_000)):
         mod = fit_sample_mod_for(n, k)
         assert n // mod >= 100 * k or mod == 1
+
+
+def test_twolevel_threshold_and_coarse_k_pins():
+    """Round-13 two-level assign dispatch rule: coarse_k_for is ⌈√k⌉
+    (balances the coarse and fine GEMM terms), and the auto-dispatch
+    threshold sits at the first k_for ladder rung past the measured
+    flat/two-level crossover (SEMDEDUP_TWOLEVEL_PROBE.json) — below
+    it fixture- and 1M-scale corpora keep the flat GEMM's simpler
+    single-matrix plan."""
+    from database_join_spark.plans.sizing import (
+        TWOLEVEL_ASSIGN_MIN_K,
+        coarse_k_for,
+        k_for,
+    )
+
+    assert coarse_k_for(1) == 1
+    assert coarse_k_for(100) == 10
+    assert coarse_k_for(1000) == 32
+    assert coarse_k_for(110_000) == 332  # the LAION-recipe scale
+    # threshold = the first measured winning rung (1.83× at k=1000,
+    # SEMDEDUP_TWOLEVEL_PROBE crossover) — exactly the k_for ladder's
+    # 1M point: 1M-vector corpora route two-level, fixture scale and
+    # the k ≤ 316 regime (flat measured ahead) keep the flat GEMM
+    assert k_for(1_000_000) >= TWOLEVEL_ASSIGN_MIN_K
+    assert k_for(900_000) < TWOLEVEL_ASSIGN_MIN_K
+    assert TWOLEVEL_ASSIGN_MIN_K > 316
+
+
+def test_exchange_multiplier_measured_not_calibrated(spark, tmp_path):
+    """VERDICT r12 #3: the documents-exchange multiplier must be a
+    MEASURED catalog statistic (mean tokens/doc over a sampled
+    scan), not the probe-corpus constant 93 — on a corpus with ~4×
+    longer documents the constant under-provisions the exchange by
+    exactly the length ratio. Pins: the statistic lands on the
+    synthetic truth, caches per table version, and _size_exchanges
+    sets the session conf from the MEASURED value where the
+    constant would have left it at the floor."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.plans.sizing import (
+        shuffle_partitions_for,
+    )
+    from database_join_spark.plans.stats import (
+        mean_tokens_per_doc_cached,
+    )
+    from database_join_spark.queries.pipeline import _size_exchanges
+
+    cat = tmp_path / "stats.json"
+    n_docs, true_tokens = 500, 400
+    docs_dir = tmp_path / "sf" / "documents.parquet"
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"array_join(transform(sequence(1, {true_tokens}), "
+                "i -> concat('w', pmod(xxhash64(id, i), 5000))), ' ')"
+            ).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(str(docs_dir))
+    )
+    measured, hit = mean_tokens_per_doc_cached(
+        spark, str(docs_dir), path=cat
+    )
+    assert not hit
+    assert measured == float(true_tokens)
+    again, hit2 = mean_tokens_per_doc_cached(
+        spark, str(docs_dir), path=cat
+    )
+    assert hit2 and again == measured
+    # the measured multiplier provisions ~4.3× the constant's
+    # partitions at any exchange-relevant scale
+    cores = spark.sparkContext.defaultParallelism
+    assert shuffle_partitions_for(
+        int(1_000_000 * measured), cores
+    ) > shuffle_partitions_for(1_000_000 * 93, cores)
+    # wiring: _size_exchanges turns the knob from the measured stat
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        _size_exchanges(
+            spark,
+            str(tmp_path / "sf"),
+            rows_per_task=1_000,
+            path=cat,
+        )
+        applied = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert applied == shuffle_partitions_for(
+            n_docs * true_tokens, cores, 1_000
+        )
+        # the constant would have floored: 500·93 rows / 10k-row
+        # tasks needs fewer than one wave of cores
+        assert applied > shuffle_partitions_for(
+            n_docs * 93, cores, 1_000
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_layout_breakeven_rule():
+    """VERDICT r12 #8: the bucketed-layout amortization point is a
+    planner rule, not taste — with the measured groups=1e8 numbers
+    (build 114.57 s, ~30 s saved/query) the layout pays at the 4th
+    query; a non-positive saving never pays."""
+    from database_join_spark.plans.sizing import layout_breakeven
+
+    assert layout_breakeven() == 4
+    assert layout_breakeven(23.23, 5.26 - 0.78) == 6  # large_inner
+    assert layout_breakeven(100.0, 0.0) == 1 << 31
+    assert layout_breakeven(100.0, -5.0) == 1 << 31
+    assert layout_breakeven(1.0, 100.0) == 1

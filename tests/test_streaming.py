@@ -1006,3 +1006,62 @@ def test_ingest_neardedup_batch_cross_batch_masses(spark, tmp_path):
     )
     # survivors pass through with their original columns
     assert set(a2.columns) == {"doc_id", "toks"}
+
+
+def test_bucket_store_cache_incremental_and_lifecycle(spark, tmp_path):
+    """Round-13 store-frame cache (VERDICT r12 #3-residual): the
+    near-dup bucket store is append-only and probed in full each
+    batch, so the cache must (a) return exactly the store's rows,
+    (b) consume only NEW files on later calls (incremental union,
+    not a re-read), (c) rebuild when the store is compacted under
+    it, and (d) release everything on clear_neardedup_cache."""
+    from database_join_spark.streaming import (
+        _STORE_CACHE,
+        _bucket_store_frame,
+        clear_neardedup_cache,
+    )
+
+    store = tmp_path / "buckets"
+    # empty dir → no frame
+    store.mkdir()
+    assert _bucket_store_frame(spark, str(store)) is None
+
+    def append(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "CAST(id % 4 AS INT) AS band",
+            "xxhash64(id) AS bucket",
+            "id AS doc_id",
+        ).coalesce(1).write.mode("append").parquet(str(store))
+
+    try:
+        append(0, 100)
+        f1 = _bucket_store_frame(spark, str(store))
+        assert f1.count() == 100
+        _, seen1, unions1 = _STORE_CACHE[str(store)]
+        assert unions1 == 0
+        # same files → same frame object, no new cache entry state
+        assert _bucket_store_frame(spark, str(store)) is f1
+        # append → incremental union consumes only the delta
+        append(100, 250)
+        f2 = _bucket_store_frame(spark, str(store))
+        assert f2.count() == 250
+        _, seen2, unions2 = _STORE_CACHE[str(store)]
+        assert unions2 == 1 and len(seen2) > len(seen1)
+        assert {
+            r["doc_id"] for r in f2.select("doc_id").collect()
+        } == set(range(250))
+        # compaction (rewrite) under the cache → full rebuild
+        rows = spark.read.parquet(str(store))
+        rows.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "compacted")
+        )
+        import shutil
+
+        shutil.rmtree(store)
+        shutil.move(str(tmp_path / "compacted"), str(store))
+        f3 = _bucket_store_frame(spark, str(store))
+        assert f3.count() == 250
+        assert _STORE_CACHE[str(store)][2] == 0  # rebuilt, not unioned
+    finally:
+        clear_neardedup_cache()
+    assert str(store) not in _STORE_CACHE
