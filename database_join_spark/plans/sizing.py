@@ -722,14 +722,20 @@ def fit_sample_mod_for(
 #: fine-within-cell) quantizer instead of the flat GEMM. The flat
 #: assign does n·k distance work — under :func:`k_for`'s k ∝ n that
 #: is the last super-linear term in SemDeDup (VERDICT r12 #2); the
-#: two-level path does n·(√k + coarse_m·√k). Crossover measured by
-#: SEMDEDUP_TWOLEVEL_PROBE.json: at 1M vectors the two-level assign
-#: wins every rung from k=1000 up (1.83× at k=1000, 2.0–2.1× at
-#: k=2048/3162, identical emitted-row counts; the 50k smoke shows
-#: flat still ahead at k ≤ 316: 0.88×/0.71×), so the threshold sits
-#: at the first measured winning rung — which is exactly the k_for
-#: ladder's 1M point, so corpora from 1M vectors up take the
-#: two-level path and fixture-scale runs keep the flat plan.
+#: two-level path does n·(√k + coarse_m·√k) plus a per-cell-top-m
+#: merge. Measured by SEMDEDUP_TWOLEVEL_PROBE.json at 1M vectors:
+#: the two-level assign wall sits ~flat at 5.7–5.9 s across
+#: k=1000/2048/3162 while the flat GEMM pays 33/19/20 s (5.8×/3.2×/
+#: 3.4×, identical emitted-row counts every rung), and the n-ladder
+#: keeps the advantage to 4M (5.1 → 62 s vs flat 30 → 283 s — 4.5×
+#: at 4M/k=4040, rows identical; the shipped operator end-to-end at
+#: 4M: 349 s, recall 1.0, exactly the 40k planted pairs, vs the r12
+#: flat-assign 1M record of 112.5 s — 3.1× wall for 4× corpus). The
+#: threshold sits at the k_for ladder's 1M rung — the first point
+#: measured winning — so corpora from 1M vectors up take the
+#: two-level path and fixture-scale runs keep the flat plan's
+#: single-matrix simplicity (at fixture k the router adds pure
+#: overhead).
 TWOLEVEL_ASSIGN_MIN_K = 1000
 
 

@@ -146,7 +146,13 @@ def main() -> None:
         rung = {
             "k": k,
             "assign_impl": (
-                "np" if k > S.LITERAL_ASSIGN_MAX_K else "literal"
+                # mirror kmeans_assign_topm's auto dispatch (round 13
+                # added the two-level tier)
+                "np2l"
+                if k >= S._twolevel_min_k()
+                else "np"
+                if k > S.LITERAL_ASSIGN_MAX_K
+                else "literal"
             ),
             "wall_sec": wall,
             "recall_vs_planted": recall,

@@ -80,25 +80,37 @@ def synth_corpus(spark, n: int):
     n + b//DUP_EVERY. All deterministic (seeded driver literals +
     per-coordinate xxhash64 noise) — no RNG at execution time.
     """
+    # Domain centers ride in as a 50-row BROADCAST JOIN, not a
+    # 50×64-literal array indexed per element: higher-order
+    # transforms run interpreted, and `element_at(array(<3200
+    # literals>), dom)[i]` re-evaluated the whole CreateArray for
+    # every element of every row — thread dumps pinned the entire
+    # round-13 4M synth (45+ min) inside that interpreted eval. The
+    # join binds each row's center ONCE; per-element work drops to
+    # an array index + hash + IEEE double ops. Values are
+    # bit-identical to the old literal spelling: centers round
+    # through the same 6-decimal string the literals printed, and
+    # the noise divides by DOUBLE literals (the D suffix — an
+    # un-suffixed 1000.0 parses as DECIMAL(5,1) and drags the eval
+    # onto BigDecimal).
     centers = []
     for c in range(DOMAINS):
         rng = random.Random(7000 + c)
         centers.append(
-            [rng.uniform(-CENTER_SCALE, CENTER_SCALE) for _ in range(DIM)]
+            [
+                float(f"{x:.6f}")
+                for x in (
+                    rng.uniform(-CENTER_SCALE, CENTER_SCALE)
+                    for _ in range(DIM)
+                )
+            ]
         )
-    lit = ", ".join(
-        "array(" + ", ".join(f"{x:.6f}D" for x in row) + ")"
-        for row in centers
+    centers_df = spark.createDataFrame(
+        [(c, centers[c]) for c in range(DOMAINS)],
+        "dom int, center array<double>",
     )
-    # The noise literals carry the D suffix: an un-suffixed 1000.0
-    # parses as DECIMAL(5,1), and bigint/decimal division evaluates
-    # on the interpreted BigDecimal path inside this (already
-    # non-codegen) higher-order transform — measured as the entire
-    # 4M-synth bottleneck in round 13 (stage thread dump: 28 cores
-    # in Decimal.$div; double literals generate plain IEEE ops).
     base_expr = (
-        f"transform(sequence(0, {DIM - 1}), i -> "
-        f"element_at(array({lit}), CAST(base_id % {DOMAINS} AS INT) + 1)[i]"
+        f"transform(sequence(0, {DIM - 1}), i -> center[i]"
         f" + (pmod(xxhash64(base_id, i), 1000) / 1000.0D - 0.5D))"
     )
     base = spark.range(n).select(
@@ -113,7 +125,15 @@ def synth_corpus(spark, n: int):
             F.col("id").alias("base_id"),
         )
     )
-    both = base.unionByName(twins).withColumn("b", F.expr(base_expr))
+    both = (
+        base.unionByName(twins)
+        .join(
+            F.broadcast(centers_df),
+            F.pmod("base_id", F.lit(DOMAINS)).cast("int")
+            == F.col("dom"),
+        )
+        .withColumn("b", F.expr(base_expr))
+    )
     # twin = base + deterministic ±TWIN_NOISE/2 per coordinate
     vec = (
         f"transform(sequence(0, {DIM - 1}), i -> CAST(b[i] + "

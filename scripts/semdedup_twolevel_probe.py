@@ -162,6 +162,10 @@ def part_crossover(spark, host_snapshot, n: int, ks) -> dict:
 def part_scale(spark, host_snapshot, ns) -> dict:
     out = {"rungs": [], "end_to_end": None}
     for n in ns:
+        # one synth per n — the end-to-end arm at the largest n
+        # reuses the same persisted corpus (the generator is cheap
+        # since the round-13 broadcast-join rewrite, but a second
+        # 4M materialization is still pure waste)
         emb = synth_corpus(spark, n).persist()
         n_total = emb.count()
         k = k_for(n_total)
@@ -185,44 +189,45 @@ def part_scale(spark, host_snapshot, ns) -> dict:
         }
         out["rungs"].append(rung)
         print(json.dumps(rung))
+
+        if n == max(ns):
+            # end-to-end SHIPPED operator: auto dispatch must route
+            # through the two-level path (k_for(n) >= threshold)
+            truth = {
+                (b, n + b // DUP_EVERY)
+                for b in range(0, n, DUP_EVERY)
+            }
+            t0 = time.monotonic()
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in S.semdedup_pairs(
+                    emb,
+                    k=k,
+                    iterations=ITERS,
+                    m=M,
+                    threshold=THRESHOLD,
+                    ratio=RATIO,
+                    fit_sample_mod=fit_sample_mod_for(n_total, k),
+                ).collect()
+            }
+            wall = round(time.monotonic() - t0, 2)
+            from database_join_spark.plans.sizing import (
+                TWOLEVEL_ASSIGN_MIN_K,
+            )
+
+            out["end_to_end"] = {
+                "n_total": n_total,
+                "k": k,
+                "auto_dispatch_twolevel": k >= TWOLEVEL_ASSIGN_MIN_K,
+                "wall_sec": wall,
+                "recall_vs_planted": round(
+                    len(got & truth) / len(truth), 4
+                ),
+                "emitted_pairs": len(got),
+                "host": host_snapshot(),
+            }
+            print(json.dumps(out["end_to_end"]))
         emb.unpersist()
-
-    # end-to-end SHIPPED operator at the largest n: auto dispatch
-    # must route through the two-level path (k_for(n) >= threshold)
-    n = max(ns)
-    emb = synth_corpus(spark, n).persist()
-    n_total = emb.count()
-    truth = {(b, n + b // DUP_EVERY) for b in range(0, n, DUP_EVERY)}
-    k = k_for(n_total)
-    t0 = time.monotonic()
-    got = {
-        (r["id_a"], r["id_b"])
-        for r in S.semdedup_pairs(
-            emb,
-            k=k,
-            iterations=ITERS,
-            m=M,
-            threshold=THRESHOLD,
-            ratio=RATIO,
-            fit_sample_mod=fit_sample_mod_for(n_total, k),
-        ).collect()
-    }
-    wall = round(time.monotonic() - t0, 2)
-    from database_join_spark.plans.sizing import TWOLEVEL_ASSIGN_MIN_K
-
-    out["end_to_end"] = {
-        "n_total": n_total,
-        "k": k,
-        "auto_dispatch_twolevel": k >= TWOLEVEL_ASSIGN_MIN_K,
-        "wall_sec": wall,
-        "recall_vs_planted": round(
-            len(got & truth) / len(truth), 4
-        ),
-        "emitted_pairs": len(got),
-        "host": host_snapshot(),
-    }
-    print(json.dumps(out["end_to_end"]))
-    emb.unpersist()
     return out
 
 
@@ -251,29 +256,35 @@ def main() -> None:
         else [int(s) for s in args.ks.split(",")]
     )
 
-    results: dict = {}
+    # Incremental merge-on-write after EACH part: a crash or kill in
+    # a later part keeps the earlier parts' measurements (the first
+    # round-13 run lost 50 minutes of data to an end-of-main write).
+    artifact = Path(_REPO, "SEMDEDUP_TWOLEVEL_PROBE.json")
+
+    def flush(key: str, value) -> None:
+        merged: dict = {}
+        if artifact.exists():
+            merged = json.loads(artifact.read_text())
+        merged[key] = value
+        merged["quick"] = args.quick
+        merged["m"] = M
+        merged["ratio"] = RATIO
+        merged["coarse_probe"] = {
+            "coarse_m": S.COARSE_PROBE_M,
+            "coarse_ratio": S.COARSE_PROBE_RATIO,
+        }
+        artifact.write_text(json.dumps(merged, indent=1) + "\n")
+        print(f"flushed part {key!r}")
+
     if args.part in ("parity", "all"):
-        results["parity"] = part_parity(spark, host_snapshot, n1)
+        flush("parity", part_parity(spark, host_snapshot, n1))
     if args.part in ("crossover", "all"):
-        results["crossover"] = part_crossover(
-            spark, host_snapshot, n1, ks
+        flush(
+            "crossover",
+            part_crossover(spark, host_snapshot, n1, ks),
         )
     if args.part in ("scale", "all"):
-        results["scale"] = part_scale(spark, host_snapshot, ns)
-
-    artifact = Path(_REPO, "SEMDEDUP_TWOLEVEL_PROBE.json")
-    merged: dict = {}
-    if artifact.exists():
-        merged = json.loads(artifact.read_text())
-    merged.update(results)
-    merged["quick"] = args.quick
-    merged["m"] = M
-    merged["ratio"] = RATIO
-    merged["coarse_probe"] = {
-        "coarse_m": S.COARSE_PROBE_M,
-        "coarse_ratio": S.COARSE_PROBE_RATIO,
-    }
-    artifact.write_text(json.dumps(merged, indent=1) + "\n")
+        flush("scale", part_scale(spark, host_snapshot, ns))
     print("wrote SEMDEDUP_TWOLEVEL_PROBE.json")
 
 
