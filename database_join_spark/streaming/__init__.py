@@ -295,12 +295,30 @@ _ISIN_FETCH_MAX = 100_000
 #: the union plan depth stays bounded.
 _STORE_CACHE: dict = {}
 _STORE_REBUILD_EVERY = 64
+#: Frames superseded by an increment, awaiting release at batch end.
+#: Unpersisting the old snapshot eagerly would force the increment
+#: to materialize first (a full extra pass over the store per batch
+#: — the round-13 probe measured that maintenance pass costing
+#: exactly what the cache saves); deferring lets the BATCH'S OWN
+#: probe materialize the union (its hit_pairs checkpoint is eager),
+#: and the old frame is released after the appends, when nothing
+#: reads it.
+_STORE_RETIRED: list = []
+
+
+def _release_retired_store_frames() -> None:
+    while _STORE_RETIRED:
+        try:
+            _STORE_RETIRED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def clear_neardedup_cache(state_dir: str | None = None) -> None:
     """Release the cached bucket-store frames (all, or one store's).
     Call when a stream is stopped/abandoned; a restarted stream does
     not need it (the cache detects new files and rebuilds)."""
+    _release_retired_store_frames()
     keys = (
         [k for k in _STORE_CACHE if state_dir is None or k.startswith(
             state_dir.rstrip("/")
@@ -340,12 +358,16 @@ def _bucket_store_frame(spark, buckets_dir: str):
             nf = frame.unionByName(
                 spark.read.parquet(*new)
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            nf.count()  # materialize before releasing the old frame
-            frame.unpersist(blocking=False)
+            # no eager materialization: the caller's probe is the
+            # first (and materializing) reader — an eager count here
+            # would re-pay a full store pass per batch. The old
+            # frame retires at batch end, after the probe consumed
+            # the union through its eager checkpoint.
+            _STORE_RETIRED.append(frame)
             _STORE_CACHE[buckets_dir] = (nf, fileset, unions + 1)
             return nf
         # compaction/rewrite under us, or depth budget reached
-        frame.unpersist(blocking=False)
+        _STORE_RETIRED.append(frame)
         _STORE_CACHE.pop(buckets_dir, None)
     # Explicit FILE paths, never the directory: a directory-based
     # plan re-lists on recompute and silently absorbs files appended
@@ -589,6 +611,10 @@ def ingest_neardedup_batch(
             _PERSIST_POOL.pop().unpersist(blocking=False)
         except Exception:
             pass
+    # store snapshots superseded by this batch's increment: the probe
+    # consumed the union (eager hit_pairs checkpoint) and the appends
+    # are done — the old frames have no readers left
+    _release_retired_store_frames()
     return surv
 
 
