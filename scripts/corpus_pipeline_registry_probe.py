@@ -207,6 +207,20 @@ def main() -> None:
         if args.quick
         else [int(p) for p in args.points.split(",")]
     )
+    artifact = Path(_REPO, "CORPUS_PIPELINE_REGISTRY_PROBE.json")
+
+    def flush(update_points: dict, eff=None) -> None:
+        # per-point merge-on-write: a kill mid-4M keeps the 1M point
+        merged: dict = {"points": {}}
+        if artifact.exists():
+            merged = json.loads(artifact.read_text())
+            merged.setdefault("points", {})
+        merged["points"].update(update_points)
+        if eff is not None:
+            merged["efficiency_vs_smallest"] = eff
+        merged["quick"] = args.quick
+        artifact.write_text(json.dumps(merged, indent=1) + "\n")
+
     out: dict = {"points": {}}
     walls: dict = {}
     for n in points:
@@ -230,27 +244,16 @@ def main() -> None:
         walls[n] = rec["wall_sec"]
         out["points"][str(n)] = rec
         print(json.dumps(rec))
+        flush({str(n): rec})
         import shutil
 
         shutil.rmtree(sf_dir, ignore_errors=True)
 
     if len(points) >= 2:
         lo, hi = min(points), max(points)
-        out["efficiency_vs_smallest"] = round(
-            (hi / lo) * walls[lo] / walls[hi], 3
-        )
-        print("efficiency:", out["efficiency_vs_smallest"])
-
-    artifact = Path(_REPO, "CORPUS_PIPELINE_REGISTRY_PROBE.json")
-    merged: dict = {"points": {}}
-    if artifact.exists():
-        merged = json.loads(artifact.read_text())
-        merged.setdefault("points", {})
-    merged["points"].update(out["points"])
-    if "efficiency_vs_smallest" in out:
-        merged["efficiency_vs_smallest"] = out["efficiency_vs_smallest"]
-    merged["quick"] = args.quick
-    artifact.write_text(json.dumps(merged, indent=1) + "\n")
+        eff = round((hi / lo) * walls[lo] / walls[hi], 3)
+        print("efficiency:", eff)
+        flush({}, eff=eff)
     print("wrote CORPUS_PIPELINE_REGISTRY_PROBE.json")
 
 
