@@ -539,10 +539,21 @@ def kmeans_assign(
     cluster index deterministically. ``impl`` as in
     :func:`kmeans_assign_topm`: past :data:`LITERAL_ASSIGN_MAX_K`
     centroids ``"auto"`` switches to the bit-identical
-    broadcast/GEMM spelling (:func:`kmeans_assign_np`).
+    broadcast/GEMM spelling (:func:`kmeans_assign_np`), and past
+    :data:`~database_join_spark.plans.sizing.TWOLEVEL_ASSIGN_MIN_K`
+    to the two-level quantizer (:func:`kmeans_assign_np_2l`, n·√k
+    work — identical wherever the coarse probe covers the true
+    nearest cell), which is what keeps the FIT loop sub-n·k under
+    :func:`~database_join_spark.plans.sizing.k_for`'s k ∝ n.
     """
-    if impl not in ("auto", "literal", "np"):
-        raise ValueError(f"impl must be auto|literal|np, got {impl!r}")
+    if impl not in ("auto", "literal", "np", "np2l"):
+        raise ValueError(
+            f"impl must be auto|literal|np|np2l, got {impl!r}"
+        )
+    if impl == "np2l" or (
+        impl == "auto" and len(centroids) >= _twolevel_min_k()
+    ):
+        return kmeans_assign_np_2l(base, centroids)
     if impl == "np" or (
         impl == "auto" and len(centroids) > LITERAL_ASSIGN_MAX_K
     ):
@@ -586,8 +597,11 @@ def kmeans_fit(
     is not: parallel double sums drift with partition order, and a
     point near a Voronoi boundary can flip clusters run-to-run).
 
-    Per iteration: one map-stage assignment against literal
-    centroids (:func:`kmeans_assign`, no shuffle), then one
+    Per iteration: one map-stage assignment (:func:`kmeans_assign`,
+    no shuffle — literal centroids at fixture k, broadcast/GEMM past
+    :data:`LITERAL_ASSIGN_MAX_K`, and the two-level n_s·√k quantizer
+    past ``TWOLEVEL_ASSIGN_MIN_K``, which under k_for's k ∝ n is
+    what keeps the fit's per-iteration work sub-n·k), then one
     vocabulary-bounded aggregation — posexplode to (cluster, pos,
     val) and sum/count — whose exchange carries at most k·dim
     groups after map-side partial aggregation. The driver holds
@@ -603,8 +617,21 @@ def kmeans_fit(
     job per iteration and exists for the monotone-objective
     property test; the production path leaves it off).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
+    from database_join_spark.session import track_persist
+
+    # Persisted: the loop reads ``base`` iterations+1 times (one
+    # assign + one stats aggregation per iteration, plus the returned
+    # assignment) and each read otherwise re-runs the scan + sample
+    # filter + quantization from parquet — at the sampled-fit scale
+    # (fit_sample_mod keeps ~100·k rows) the cached frame is
+    # ~dim·8 B/row while the un-cached replay is a full-corpus scan
+    # per iteration. Routed through track_persist so the next gated
+    # query's configure_session drains it.
+    base = track_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(_quant(vec_col)).alias("qv"),
+        )
     )
     seed_rows = base.orderBy("id").limit(k).collect()
     cents = [list(r.qv) for r in sorted(seed_rows, key=lambda r: r.id)]
@@ -1083,6 +1110,131 @@ def kmeans_assign_np(
                         "qv": qv_obj[sl],
                         "cluster": (nearest + 1).astype(np.int32),
                         "sqdist": d2[np.arange(len(q)), nearest],
+                    }
+                )
+
+    return base.select("id", "qv").mapInPandas(
+        assign, schema="id long, qv array<long>, cluster int, sqdist long"
+    )
+
+
+def kmeans_assign_np_2l(
+    base: DataFrame,
+    centroids: list[list[int]],
+    coarse_m: int = COARSE_PROBE_M,
+    coarse_ratio: float | None = COARSE_PROBE_RATIO,
+) -> DataFrame:
+    """Two-level (coarse → fine-within-cell) spelling of
+    :func:`kmeans_assign_np` — NEAREST-ONLY assignment for the FIT
+    loop, the round-13 follow-through on the two-level pair assign:
+    SEMDEDUP_TWOLEVEL_PROBE.json measured the sampled fit (153–177 s
+    at 4M, n_s·k GEMM per Lloyd iteration under k ∝ n) as the new
+    dominant SemDeDup term once the pair assign went two-level. Per
+    vector: one GEMM against the kc ≈ √k coarse centers from
+    :func:`centroid_router`, the same ratio-capped coarse probe as
+    :func:`kmeans_assign_topm_2l`, then per-probed-cell argmin and a
+    (d², cluster-id) min-reduce — n_s·(kc + coarse_m·k/kc) ≈ n_s·√k
+    distance work per iteration instead of n_s·k.
+
+    Output contract mirrors the flat pair (:func:`kmeans_assign` /
+    :func:`kmeans_assign_np`): exact int64 sqdist, ties break to the
+    lowest cluster index (within a cell the fine ids ascend with the
+    local column, so ``argmin``'s first minimum IS the lowest id; the
+    cross-cell merge compares (d², id) explicitly) — bit-identical to
+    the flat assign wherever the coarse probe covers the true nearest
+    cell (pinned exact at fixture scale by tests/test_pipeline.py;
+    the 1M pair-assign deviation bound is 2·10⁻⁶). Every vector
+    probes its nearest coarse cell and the router returns no empty
+    cells, so every vector is assigned. Inside Lloyd's the rare
+    covered-cell miss only nudges one centroid's floor mean — the fit
+    stays bit-DETERMINISTIC (pure function of the input), it is just
+    not bit-identical to the flat fit's trajectory; SemDeDup's recall
+    contract is measured downstream of the fit either way.
+    """
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from database_join_spark.plans.sizing import coarse_k_for
+
+    cpq = None if coarse_ratio is None else _snap_ratio(coarse_ratio)
+    cents = np.asarray(centroids, dtype=np.int64)
+    k = len(cents)
+    coarse, cell_of = centroid_router(cents, coarse_k_for(k))
+    kc = len(coarse)
+    mc = max(1, min(coarse_m, kc))
+    perm = np.lexsort((np.arange(k), cell_of))
+    grouped = cents[perm]
+    ids_g = (perm + 1).astype(np.int64)
+    n2g = np.einsum("ij,ij->i", grouped, grouped)
+    cell_start = np.searchsorted(
+        cell_of[perm], np.arange(kc + 1)
+    ).astype(np.int64)
+    n2coarse = np.einsum("ij,ij->i", coarse, coarse)
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(
+        (coarse, n2coarse, grouped, ids_g, n2g, cell_start)
+    )
+    mean_cell = max(1, -(-k // kc))
+    tile_rows = max(1, _ASSIGN_TILE_CELLS // max(kc, mc * mean_cell))
+
+    def assign(batches):
+        import pandas as pd
+
+        C, n2C, G, IDS, n2G, STARTS = bc.value
+        kc_l = len(C)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv_obj = pdf["qv"].to_numpy()
+            ids_all = pdf["id"].to_numpy()
+            for lo in range(0, len(pdf), tile_rows):
+                sl = slice(lo, min(lo + tile_rows, len(pdf)))
+                q = np.stack(qv_obj[sl]).astype(np.int64, copy=False)
+                nt = len(q)
+                # -- coarse probe: stable top-mc + ratio prefix
+                d2c = _np_sqdists(q, C, n2C)
+                order_c, sorted_c = _topm_exact(d2c, mc)
+                if cpq is None:
+                    keep_c = np.ones(order_c.shape, dtype=bool)
+                else:
+                    p_c, q_c = cpq
+                    keep_c = sorted_c * q_c <= sorted_c[:, :1] * p_c
+                probe_rows = np.repeat(
+                    np.arange(nt), keep_c.sum(axis=1)
+                )
+                probe_cells = order_c[keep_c]
+                o = np.argsort(probe_cells, kind="stable")
+                pr = probe_rows[o]
+                pc_sorted = probe_cells[o]
+                bounds = np.searchsorted(
+                    pc_sorted, np.arange(kc_l + 1)
+                )
+                # -- per-cell argmin, cross-cell (d², id) min-reduce.
+                # Within one cell every row index appears at most
+                # once, so the masked update is race-free.
+                best_d = np.full(nt, np.iinfo(np.int64).max)
+                best_id = np.full(nt, np.iinfo(np.int64).max)
+                for c in np.unique(pc_sorted):
+                    rows_c = pr[bounds[c] : bounds[c + 1]]
+                    s, e = STARTS[c], STARTS[c + 1]
+                    d2f = _np_sqdists(q[rows_c], G[s:e], n2G[s:e])
+                    loc = np.argmin(d2f, axis=1)
+                    dmin = d2f[np.arange(len(rows_c)), loc]
+                    gid = IDS[s:e][loc]
+                    cur_d = best_d[rows_c]
+                    cur_i = best_id[rows_c]
+                    better = (dmin < cur_d) | (
+                        (dmin == cur_d) & (gid < cur_i)
+                    )
+                    upd = rows_c[better]
+                    best_d[upd] = dmin[better]
+                    best_id[upd] = gid[better]
+                yield pd.DataFrame(
+                    {
+                        "id": ids_all[sl],
+                        "qv": qv_obj[sl],
+                        "cluster": best_id.astype(np.int32),
+                        "sqdist": best_d,
                     }
                 )
 

@@ -671,12 +671,14 @@ def k_for(
     multi-probe, not by block size (measured flat at 1.0 across the
     whole ladder).
 
-    Named next lever past ~10M vectors (out of scope here, visible
-    in the ladder's fit column): under k ∝ n both the sampled fit
-    and the full-corpus assign do n·k centroid-distance work — the
-    at-scale spelling caps the fit SAMPLE (fit_sample_mod ∝ n, the
-    probe already measured recall flat to 1-in-100) and assigns
-    against a coarse two-level quantizer (IVF-style, n·√k).
+    The "next lever past ~10M vectors" this docstring named in
+    round 12 is now BUILT, both halves: the full-corpus assign and
+    the fit loop's per-iteration assign route through the two-level
+    quantizer past :data:`TWOLEVEL_ASSIGN_MIN_K` (n·√k and
+    100·k^1.5 work respectively — SEMDEDUP_TWOLEVEL_PROBE.json and
+    SEMDEDUP_FIT2L_PROBE.json carry the measured ladders; at 4M the
+    fit fell 153 → 11.3 s with downstream pairs identical and the
+    deviation story pinned by the parity parts).
     """
     import math
 
@@ -735,7 +737,13 @@ def fit_sample_mod_for(
 #: measured winning — so corpora from 1M vectors up take the
 #: two-level path and fixture-scale runs keep the flat plan's
 #: single-matrix simplicity (at fixture k the router adds pure
-#: overhead).
+#: overhead). The FIT loop's nearest-only assign dispatches on the
+#: same threshold (operators/similarity.kmeans_assign_np_2l —
+#: 100·k^1.5 per-iteration work instead of 100·k² under the sampled
+#: fit): SEMDEDUP_FIT2L_PROBE.json measures 2.36×/2.59× at 2M/4M on
+#: top of the iteration-frame persist, with the 1M parity part
+#: pinning the downstream cost of the fit's trajectory deviation at
+#: ZERO emitted-pair difference (recall 1.0 both arms).
 TWOLEVEL_ASSIGN_MIN_K = 1000
 
 

@@ -1013,3 +1013,61 @@ def test_twolevel_assign_matches_flat_and_dispatches(spark, monkeypatch):
     monkeypatch.setattr(sizing, "TWOLEVEL_ASSIGN_MIN_K", 25)
     S.kmeans_assign_topm(base, cents, m=4, ratio=1.5, impl="auto")
     assert not calls
+
+
+def test_twolevel_fit_assign_matches_flat_and_dispatches(
+    spark, monkeypatch
+):
+    """Round-13 fit-loop follow-through: the nearest-only two-level
+    assign (kmeans_assign_np_2l) must emit the identical (cluster,
+    sqdist) per id as the flat GEMM on the fixture (the coarse probe
+    covers the nearest cell — same condition the pair-assign test
+    pins), Lloyd's under the two-level assign lands on the same
+    centroids as the flat fit, and kmeans_assign's auto dispatch
+    crosses to the two-level path at the sizing threshold."""
+    from database_join_spark.catalog import table
+    from database_join_spark.operators import similarity as S
+    from database_join_spark.plans import sizing
+    from pyspark.sql import functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    _, cents, _ = S.kmeans_fit(emb, k=24, iterations=2)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(S._quant("embedding")).alias("qv"),
+    )
+    flat = {
+        r["id"]: (r["cluster"], r["sqdist"])
+        for r in S.kmeans_assign(base, cents, impl="np").collect()
+    }
+    two = {
+        r["id"]: (r["cluster"], r["sqdist"])
+        for r in S.kmeans_assign(base, cents, impl="np2l").collect()
+    }
+    assert flat == two
+    # the whole FIT under the two-level assign lands on the same
+    # centroids as the flat-GEMM fit on the fixture
+    _, cents_np, _ = S.kmeans_fit(
+        emb, k=12, iterations=2, assign_impl="np"
+    )
+    _, cents_2l, _ = S.kmeans_fit(
+        emb, k=12, iterations=2, assign_impl="np2l"
+    )
+    assert cents_2l == cents_np
+    # auto-dispatch: k >= threshold routes the fit-loop assign
+    # through the two-level spelling, below it stays flat
+    calls = []
+    real = S.kmeans_assign_np_2l
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "kmeans_assign_np_2l", spy)
+    monkeypatch.setattr(sizing, "TWOLEVEL_ASSIGN_MIN_K", 24)
+    S.kmeans_assign(base, cents, impl="auto")
+    assert calls, "auto did not dispatch the nearest-only 2l assign"
+    calls.clear()
+    monkeypatch.setattr(sizing, "TWOLEVEL_ASSIGN_MIN_K", 25)
+    S.kmeans_assign(base, cents, impl="auto")
+    assert not calls
