@@ -245,10 +245,18 @@ def parquet_rowcount(table_dir: str) -> int:
 
 
 #: Sample size for the mean-tokens-per-doc statistic: 10k docs reads
-#: ~one parquet file/row-group and pins the mean to a few percent —
-#: the sizing rule rounds to multiples of the core count anyway, so
-#: estimator noise cannot change the decision by more than one wave.
+#: ~one parquet file/row-group per sampled file and pins the mean to
+#: a few percent — the sizing rule rounds to multiples of the core
+#: count anyway, so estimator noise cannot change the decision by
+#: more than one wave.
 TOKEN_STAT_SAMPLE_ROWS = 10_000
+#: Files the token sample spreads across: a single-file prefix read
+#: is biased whenever file order correlates with document length
+#: (time-ordered crawls get longer/shorter over time; a sorted
+#: rewrite clusters lengths per file). Eight evenly-spaced files
+#: bound the IO at ~8 leading row groups while sampling the whole
+#: layout's length distribution.
+TOKEN_STAT_SAMPLE_FILES = 8
 
 
 def sampled_mean_tokens_per_doc(
@@ -261,19 +269,55 @@ def sampled_mean_tokens_per_doc(
     sample — the SAME tokenizer the heavy documents-table operators
     shuffle one row per token position of
     (``operators/text.TOKENS_SQL``; ExactSubstr's window keys and
-    MinHash's shingles both fan out ~size(tokens) rows/doc). One
-    ``limit``-bounded column-pruned scan; floor of 1.0 so a
-    degenerate/empty sample can never zero the exchange estimate."""
+    MinHash's shingles both fan out ~size(tokens) rows/doc). The
+    sample reads up to :data:`TOKEN_STAT_SAMPLE_FILES` evenly-spaced
+    data files (explicit paths, so the scan touches nothing else)
+    with a per-file ``limit`` — a plain ``limit(n)`` over the
+    directory would take the FIRST file's prefix and bias the mean
+    whenever file order correlates with document length. Bounded,
+    column-pruned IO either way; floor of 1.0 so a degenerate/empty
+    sample can never zero the exchange estimate."""
+    from pathlib import Path
+
     from pyspark.sql import functions as F
 
     from database_join_spark.operators.text import TOKENS_SQL
 
     toks = TOKENS_SQL.format(c=text_col)
+    files = sorted(
+        str(p)
+        for p in Path(table_dir).rglob("*.parquet")
+        if not p.name.startswith(("_", "."))
+    )
+    nf = min(TOKEN_STAT_SAMPLE_FILES, len(files)) or 1
+    picked = (
+        [files[(i * len(files)) // nf] for i in range(nf)]
+        if files
+        else []
+    )
+    per_file = -(-sample_rows // nf)
+    if picked:
+        # One limit per FILE: a single global limit over the union
+        # would again be satisfied from the first file's partitions,
+        # re-introducing the prefix bias the spread exists to remove.
+        sample = None
+        for f in picked:
+            part = (
+                spark.read.parquet(f)
+                .select(text_col)
+                .limit(per_file)
+            )
+            sample = part if sample is None else sample.unionByName(
+                part
+            )
+    else:
+        sample = (
+            spark.read.parquet(table_dir)
+            .select(text_col)
+            .limit(sample_rows)
+        )
     row = (
-        spark.read.parquet(table_dir)
-        .select(text_col)
-        .limit(sample_rows)
-        .agg(F.avg(F.expr(f"size({toks})")).alias("t"))
+        sample.agg(F.avg(F.expr(f"size({toks})")).alias("t"))
         .collect()[0]["t"]
     )
     return max(1.0, float(row)) if row is not None else 1.0
@@ -296,7 +340,12 @@ def mean_tokens_per_doc_cached(
     or rewrites re-measure."""
     val, hit = cached_statistic(
         parquet_table_key(table_dir),
-        f"mean_tokens|col={text_col}|sample={sample_rows}",
+        # estimator version is part of the key: the round-13 spread
+        # sample (8 evenly-spaced files, per-file limit) measures a
+        # different statistic than the prefix read on length-skewed
+        # layouts, so cached prefix values must not be reused
+        f"mean_tokens|col={text_col}|sample={sample_rows}"
+        f"|spread={TOKEN_STAT_SAMPLE_FILES}",
         lambda: sampled_mean_tokens_per_doc(
             spark, table_dir, text_col, sample_rows
         ),

@@ -3328,6 +3328,12 @@ _SEMDEDUP_PROBES = 4
 
 @query(
     "dedup_semantic",
+    # bench=True (round 13): the operator the last three verdicts
+    # tracked as the scale-weak component — k-ladder, two-level
+    # assign, two-level fit each moved its wall; a bench row makes
+    # any regression in that chain visible round-over-round instead
+    # of only in ad-hoc probe artifacts.
+    bench=True,
     tags=("pipeline", "dedup", "similarity", "no-oracle"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

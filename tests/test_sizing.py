@@ -657,3 +657,40 @@ def test_layout_breakeven_rule():
     assert layout_breakeven(100.0, 0.0) == 1 << 31
     assert layout_breakeven(100.0, -5.0) == 1 << 31
     assert layout_breakeven(1.0, 100.0) == 1
+
+
+def test_token_stat_sample_spreads_across_files(spark, tmp_path):
+    """The token statistic must sample ACROSS the table's files, not
+    read one file's prefix: on a layout where file order correlates
+    with document length (time-ordered crawl, sorted rewrite) a
+    prefix read measures only the leading file's geometry and
+    under-sizes the exchange by the length ratio — the exact failure
+    VERDICT r12 #3 retired the constant for. Layout: 8 files, docs
+    of 10 tokens in the first half, 390 in the second (true mean
+    200). A first-file prefix would report ~10."""
+    from pyspark.sql import functions as F
+
+    from database_join_spark.plans.stats import (
+        sampled_mean_tokens_per_doc,
+    )
+
+    docs_dir = tmp_path / "documents.parquet"
+    for i in range(8):
+        tok = 10 if i < 4 else 390
+        (
+            spark.range(100)
+            .select(
+                (F.col("id") + i * 100).alias("doc_id"),
+                F.expr(
+                    f"array_join(transform(sequence(1, {tok}), "
+                    "i -> 'w'), ' ')"
+                ).alias("text"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(docs_dir))
+        )
+    measured = sampled_mean_tokens_per_doc(spark, str(docs_dir))
+    # within 25% of the true mixed mean — and nowhere near either
+    # pure-file value a prefix read would land on
+    assert 150.0 <= measured <= 250.0
