@@ -752,7 +752,21 @@ def coarse_k_for(k: int) -> int:
     two GEMM terms (coarse kc + fine probed·k/kc per vector — the
     sum is minimized at kc = √(probed·k), and probed is a small
     constant, so √k is within √probed of optimal while keeping the
-    router's driver-side fit at k·√k work)."""
+    router's driver-side fit at k·√k work).
+
+    That driver-side k^1.5 router term is MEASURED, not assumed
+    (ROUTER_WALL_PROBE.json, k = 10k…300k, int64 geometry): it
+    tracks the same k^1.5 curve as the distributed two-level fit,
+    so on this 32-core box it is a constant ~0.6% of the fit wall
+    at every k. The share only grows with FLEET parallelism (the
+    fit distributes, the router does not): at 1000-executor scale
+    it extrapolates to ~17% — still secondary, and the at-scale
+    spelling when it stops being secondary is the same machinery
+    one level up: sample the router's own Lloyd input
+    (``fit_sample_mod_for`` applied to the k fine centroids) and
+    distribute the one-pass k-row cell assignment through
+    :func:`~database_join_spark.operators.similarity.
+    kmeans_assign_np` against the kc coarse centers."""
     return max(1, math.ceil(math.sqrt(k)))
 
 
