@@ -776,8 +776,8 @@ def coarse_k_for(k: int) -> int:
 #: first floor 36.41 s − bucketed warm 6.43 s ≈ 30 s. The same pair
 #: for the large_inner probe-side layout: build 23.23 s, saving
 #: 5.26 − 0.78 ≈ 4.5 s.
-BUCKETED_G1E8_BUILD_SEC = 114.57
-BUCKETED_G1E8_SAVING_SEC = 36.41 - 6.43
+BUCKETED_G1E8_BUILD_SEC = 110.21
+BUCKETED_G1E8_SAVING_SEC = 25.05 - 4.97
 
 
 def layout_breakeven(
@@ -787,15 +787,20 @@ def layout_breakeven(
     """Number of queries after which a write-once bucketed layout
     PAYS: the smallest n with n·saving ≥ build (round 13, VERDICT
     r12 #8 — the estimate-before-execute discipline applied to the
-    last hand decision). With the measured groups=1e8 numbers the
-    answer is 4: a fact queried fewer than 4 times on its group key
-    should stay inline (the 36 s floor is cheaper than 115 s of
-    build it would never amortize); at 4+ the layout wins and every
-    further query banks ~30 s. Advisory — the engine cannot know
-    future query counts — but it turns "bucket it?" from taste into
-    arithmetic a catalog (or a human) can apply; infinity (a layout
-    that never pays) comes back as a large sentinel when the saving
-    is non-positive."""
+    last hand decision). Constants track the CURRENT artifact of
+    record (`BENCH_FULL.json`, the round-13 quiet capture: build
+    110.21 s, inline floor 25.05 s, bucketed warm 4.97 s ⇒ pays at
+    the 6th group-key query; the r12 capture's 114.57/36.41/6.43
+    gave 4 — the breakeven moves with the same host epoch the
+    floors do, which is exactly why it is derived, not frozen). A
+    fact queried fewer times than the breakeven should stay inline
+    (the floor is cheaper than a build it would never amortize);
+    past it the layout wins and every further query banks the
+    saving. Advisory — the engine cannot know future query counts —
+    but it turns "bucket it?" from taste into arithmetic a catalog
+    (or a human) can apply; infinity (a layout that never pays)
+    comes back as a large sentinel when the saving is
+    non-positive."""
     if per_query_saving_sec <= 0:
         return 1 << 31
     return max(1, math.ceil(build_sec / per_query_saving_sec))

@@ -647,12 +647,16 @@ def test_exchange_multiplier_measured_not_calibrated(spark, tmp_path):
 
 def test_layout_breakeven_rule():
     """VERDICT r12 #8: the bucketed-layout amortization point is a
-    planner rule, not taste — with the measured groups=1e8 numbers
-    (build 114.57 s, ~30 s saved/query) the layout pays at the 4th
-    query; a non-positive saving never pays."""
+    planner rule, not taste. Defaults track the current artifact of
+    record (BENCH_FULL round-13 quiet capture: build 110.21 s,
+    inline floor 25.05 s − bucketed warm 4.97 s ⇒ pays at the 6th
+    group-key query; the r12 epoch's 114.57/~30 gave 4 — the
+    breakeven moves with the host epoch the floors do, so it is
+    derived, not frozen); a non-positive saving never pays."""
     from database_join_spark.plans.sizing import layout_breakeven
 
-    assert layout_breakeven() == 4
+    assert layout_breakeven() == 6
+    assert layout_breakeven(114.57, 36.41 - 6.43) == 4  # r12 epoch
     assert layout_breakeven(23.23, 5.26 - 0.78) == 6  # large_inner
     assert layout_breakeven(100.0, 0.0) == 1 << 31
     assert layout_breakeven(100.0, -5.0) == 1 << 31
