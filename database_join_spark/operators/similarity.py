@@ -521,6 +521,24 @@ def lsh_topk(
 # --------------------------------------------------------------------------
 # k-means clustering (exact fixed-point) — topic/style bucketing
 # --------------------------------------------------------------------------
+def _literal_dists_sql(centroids: list[list[int]]) -> str:
+    """The k-centroid exact-int64 squared-distance array as ONE SQL
+    expression string. The previous spelling built the same tree via
+    k·dim ``F.lit`` Column calls — each a py4j round trip, measured
+    ~0.3 s of pure driver time per assign construction at k=10/dim=64
+    (SEMDEDUP_SF01_WALL_PROBE.json build_plan phase); one ``F.expr``
+    parse of a few-KB string is milliseconds for the identical
+    analyzed expression (int64 literals, same fold, same result)."""
+    per_cent = ",".join(
+        "aggregate(zip_with(qv, array("
+        + ",".join(f"{int(c)}L" for c in cent)
+        + "), (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+        for cent in centroids
+    )
+    return f"array({per_cent})"
+
+
 def kmeans_assign(
     base: DataFrame,
     centroids: list[list[int]],
@@ -558,20 +576,7 @@ def kmeans_assign(
         impl == "auto" and len(centroids) > LITERAL_ASSIGN_MAX_K
     ):
         return kmeans_assign_np(base, centroids)
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.array(*[F.lit(int(c)) for c in cent]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for cent in centroids
-        ]
-    )
+    dists = F.expr(_literal_dists_sql(centroids))
     return base.withColumn("dists", dists).select(
         "id",
         "qv",
@@ -579,6 +584,69 @@ def kmeans_assign(
         .alias("cluster"),
         F.array_min("dists").alias("sqdist"),
     )
+
+
+#: Cell budget (rows × dim) under which the Lloyd loop runs on the
+#: DRIVER over one bounded collect instead of as iterations×2 Spark
+#: jobs. Rationale: the fit input is bounded BY DESIGN — callers fit
+#: on ``fit_sample_mod_for``'s ~100-rows-per-centroid hash sample —
+#: and the round-13 sf0.1 wall probe (SEMDEDUP_SF01_WALL_PROBE.json)
+#: measured the distributed loop at 3.7 s of the dedup_semantic
+#: bench row's 4.44 s: per-iteration plan analysis + codegen of the
+#: k·dim literal centroid tree plus two tiny jobs, pure fixed
+#: overhead at sample scale. 2²² int64 cells = 32 MiB collected —
+#: e.g. 65k rows at dim 64 (k ≈ 650 under the 100-rows/centroid
+#: rule) — far inside driver memory and maxResultSize; above the
+#: budget the distributed loop is unchanged. The numpy loop is
+#: BIT-IDENTICAL (pinned, tests/test_pipeline.py): same k-lowest-id
+#: seed, exact int64 distances via :func:`_np_sqdists`, argmin's
+#: first-minimum tie break == ``array_position(array_min)``, and the
+#: same floor-div centroid update the distributed path computes.
+DRIVER_FIT_MAX_CELLS = 1 << 22
+
+
+def _kmeans_lloyd_np(
+    rows: list,
+    k: int,
+    iterations: int,
+    track_inertia: bool,
+) -> tuple[list[list[int]], list[int]]:
+    """Driver-side exact-int64 Lloyd loop over collected (id, qv)
+    rows — the bit-identical small-sample spelling of the
+    distributed loop in :func:`kmeans_fit` (see
+    :data:`DRIVER_FIT_MAX_CELLS`). Returns (centroids, history)."""
+    import numpy as np
+
+    ordered = sorted(rows, key=lambda r: r.id)
+    q = np.array([list(r.qv) for r in ordered], dtype=np.int64)
+    k = min(k, q.shape[0])
+    cents = q[:k].copy()  # k lowest-id seeds, id order
+    history: list[int] = []
+    for _ in range(iterations):
+        n2c = np.einsum("ij,ij->i", cents, cents)
+        # tile rows so the (chunk × k) distance matrix stays inside
+        # the same cell budget as the Arrow assign (_ASSIGN_TILE_CELLS)
+        step = max(1, _ASSIGN_TILE_CELLS // max(1, k))
+        assign = np.empty(q.shape[0], dtype=np.int64)
+        d2min = np.empty(q.shape[0], dtype=np.int64)
+        for lo in range(0, q.shape[0], step):
+            d2 = _np_sqdists(q[lo : lo + step], cents, n2c)
+            assign[lo : lo + step] = np.argmin(d2, axis=1)
+            d2min[lo : lo + step] = np.min(d2, axis=1)
+        if track_inertia:
+            history.append(sum(int(v) for v in d2min))
+        new = cents.copy()
+        for j in range(k):
+            members = q[assign == j]
+            if len(members):
+                # Python-int floor div == the distributed path's
+                # ``s // n`` update (sums bounded: |q| ≤ ~1e7 × the
+                # ≤ DRIVER_FIT_MAX_CELLS rows collected « 2^63)
+                new[j] = members.sum(axis=0, dtype=np.int64) // len(
+                    members
+                )
+        cents = new
+    return [[int(c) for c in row] for row in cents], history
 
 
 def kmeans_fit(
@@ -589,6 +657,7 @@ def kmeans_fit(
     iterations: int = 5,
     track_inertia: bool = False,
     assign_impl: str = "auto",
+    fit_mode: str = "auto",
 ) -> tuple[DataFrame, list[list[int]], list[int]]:
     """Lloyd's k-means over an embedding column in EXACT fixed-point
     integer arithmetic — every distance, assignment, and centroid
@@ -627,12 +696,42 @@ def kmeans_fit(
     # ~dim·8 B/row while the un-cached replay is a full-corpus scan
     # per iteration. Routed through track_persist so the next gated
     # query's configure_session drains it.
+    if fit_mode not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"fit_mode must be auto|driver|distributed, got {fit_mode!r}"
+        )
     base = track_persist(
         df.select(
             F.col(id_col).alias("id"),
             F.expr(_quant(vec_col)).alias("qv"),
         )
     )
+    if fit_mode != "distributed":
+        # Bounded driver fit (round 13, see DRIVER_FIT_MAX_CELLS):
+        # one head() for dim, one ≤32 MiB collect for the sample; if
+        # the sample exceeds the cell budget the collect is abandoned
+        # at max_rows+1 rows and the distributed loop below runs
+        # unchanged (its cost at that scale dwarfs the probe's).
+        head = base.select("qv").head(1)
+        if head:
+            dim = len(head[0].qv)
+            max_rows = max(k, DRIVER_FIT_MAX_CELLS // max(1, dim))
+            rows = base.limit(max_rows + 1).collect()
+            if len(rows) <= max_rows:
+                cents, history = _kmeans_lloyd_np(
+                    rows, k, iterations, track_inertia
+                )
+                return (
+                    kmeans_assign(base, cents, impl=assign_impl),
+                    cents,
+                    history,
+                )
+            if fit_mode == "driver":
+                raise ValueError(
+                    f"fit_mode='driver' but input exceeds "
+                    f"{max_rows} rows at dim {dim} "
+                    f"(DRIVER_FIT_MAX_CELLS={DRIVER_FIT_MAX_CELLS})"
+                )
     seed_rows = base.orderBy("id").limit(k).collect()
     cents = [list(r.qv) for r in sorted(seed_rows, key=lambda r: r.id)]
     # Fewer rows than k → fewer seeds than the update loop iterates;
@@ -1306,20 +1405,7 @@ def kmeans_assign_topm(
         return kmeans_assign_topm_2l(base, centroids, m, ratio)
     if impl == "np" or (impl == "auto" and k > LITERAL_ASSIGN_MAX_K):
         return kmeans_assign_topm_np(base, centroids, m, ratio)
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.array(*[F.lit(int(c)) for c in cent]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for cent in centroids
-        ]
-    )
+    dists = F.expr(_literal_dists_sql(centroids))
     top_m = (
         f"slice(array_sort(arrays_zip(dists, sequence(1, {k}))), 1, {m})"
     )
@@ -1356,6 +1442,7 @@ def semdedup_pairs(
     ratio: float | None = None,
     fit_sample_mod: int | None = None,
     coarse_score: bool = False,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """SemDeDup candidate-pair scoring: exact-integer k-means fit →
     multi-probe blocking (:func:`kmeans_assign_topm`, m nearest
@@ -1388,6 +1475,14 @@ def semdedup_pairs(
     k lowest-id sampled vectors seed). If the sample holds fewer
     than k rows (corpus smaller than ~mod·k), the fit silently-wrong
     failure mode is closed by falling back to the full-corpus fit.
+
+    ``n_hint`` (round 13) is the caller's known corpus row count
+    (e.g. the cached parquet-footer rowcount). When it proves the
+    whole corpus fits one scorer chunk (≤
+    :data:`SEMDEDUP_TARGET_CHUNK` rows) the chunk census, its
+    broadcast join, and the blocks persist are skipped outright —
+    identical output, two fewer jobs. It is a hint, never a limit:
+    an absent or large hint runs the full chunking machinery.
 
     ``coarse_score=True`` switches the within-block scorer to the
     two-tier int8/SGEMM pass (see :func:`_block_scorer`): the
@@ -1432,42 +1527,68 @@ def semdedup_pairs(
     # disk spill, not recompute.
     from database_join_spark.session import track_persist
 
-    blocks = track_persist(kmeans_assign_topm(base, cents, m=m, ratio=ratio))
-    # Chunk-pair parallelism: one task per BLOCK serializes on a
-    # skewed cluster (measured: a straggler block pinned the 300k
-    # probe arm to one core for 15+ min while 31 sat idle). Blocks
-    # larger than TARGET_CHUNK rows are hash-split into c chunks and
-    # every chunk PAIR (ca ≤ cb) becomes its own task: the Σ|block|²
-    # pair work is unchanged but spreads over c(c+1)/2 tasks. Price:
-    # each row of an oversized block replicates c times into the
-    # block's chunk-pair groups (c = ⌈s/TARGET⌉ — the shuffle grows
-    # only for blocks that need the parallelism; c=1 blocks pay
-    # nothing). Right-sized blocks (k ∝ n) keep c=1 everywhere and
-    # this is a no-op.
-    sizes = blocks.groupBy("block").agg(F.count(F.lit(1)).alias("s"))
-    chunks = sizes.select(
-        "block",
-        F.greatest(
-            F.lit(1), F.ceil(F.col("s") / SEMDEDUP_TARGET_CHUNK)
-        )
-        .cast("int")
-        .alias("c"),
-    )
-    chunked = (
-        blocks.join(F.broadcast(chunks), "block")
-        .withColumn(
-            "ch", F.pmod(F.xxhash64("id"), F.col("c")).cast("int")
-        )
-        .withColumn("other", F.explode(F.expr("sequence(0, c - 1)")))
-        .select(
+    if n_hint is not None and n_hint <= SEMDEDUP_TARGET_CHUNK:
+        # Chunking is PROVABLY a no-op: no block can exceed
+        # TARGET_CHUNK rows when the whole corpus has at most that
+        # many, so every c would be 1 and every (ch, ca, cb) would be
+        # (0, 0, 0). Skipping the census also removes the persist —
+        # the blocks frame is consumed exactly once here (round 13:
+        # the census job + cache materialization were ~0.3 s of the
+        # 4.44 s sf0.1 bench row for a decision with one possible
+        # outcome). Output identical by construction.
+        chunked = kmeans_assign_topm(
+            base, cents, m=m, ratio=ratio
+        ).select(
             "block",
             "id",
             "qv",
-            "ch",
-            F.least("ch", "other").alias("ca"),
-            F.greatest("ch", "other").alias("cb"),
+            F.lit(0).alias("ch"),
+            F.lit(0).alias("ca"),
+            F.lit(0).alias("cb"),
         )
-    )
+    else:
+        blocks = track_persist(
+            kmeans_assign_topm(base, cents, m=m, ratio=ratio)
+        )
+        # Chunk-pair parallelism: one task per BLOCK serializes on a
+        # skewed cluster (measured: a straggler block pinned the 300k
+        # probe arm to one core for 15+ min while 31 sat idle). Blocks
+        # larger than TARGET_CHUNK rows are hash-split into c chunks
+        # and every chunk PAIR (ca ≤ cb) becomes its own task: the
+        # Σ|block|² pair work is unchanged but spreads over c(c+1)/2
+        # tasks. Price: each row of an oversized block replicates c
+        # times into the block's chunk-pair groups (c = ⌈s/TARGET⌉ —
+        # the shuffle grows only for blocks that need the parallelism;
+        # c=1 blocks pay nothing). Right-sized blocks (k ∝ n) keep c=1
+        # everywhere and this is a no-op. Persisted: the blocks frame
+        # is consumed twice (census + chunk-pair join) — without the
+        # cache boundary the ENTIRE assign runs twice; routed through
+        # track_persist so the next gated query's configure_session
+        # drains it (ADVICE r12).
+        sizes = blocks.groupBy("block").agg(F.count(F.lit(1)).alias("s"))
+        chunks = sizes.select(
+            "block",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("s") / SEMDEDUP_TARGET_CHUNK)
+            )
+            .cast("int")
+            .alias("c"),
+        )
+        chunked = (
+            blocks.join(F.broadcast(chunks), "block")
+            .withColumn(
+                "ch", F.pmod(F.xxhash64("id"), F.col("c")).cast("int")
+            )
+            .withColumn("other", F.explode(F.expr("sequence(0, c - 1)")))
+            .select(
+                "block",
+                "id",
+                "qv",
+                "ch",
+                F.least("ch", "other").alias("ca"),
+                F.greatest("ch", "other").alias("cb"),
+            )
+        )
     scored = chunked.groupBy("block", "ca", "cb").applyInPandas(
         _block_scorer(threshold, coarse=coarse_score),
         schema="id_a long, id_b long, dot long, n2_a long, n2_b long",

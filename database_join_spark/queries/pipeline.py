@@ -3417,6 +3417,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_SEMDEDUP_PROBES,
         threshold=_COS_DUP_THRESHOLD,
         fit_sample_mod=fit_sample_mod_for(int(n_vec), k),
+        n_hint=int(n_vec),
     )
 
 

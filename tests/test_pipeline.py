@@ -713,6 +713,34 @@ def test_kmeans_fit_clamps_k_to_row_count(spark):
     assert all(r["sqdist"] == 0 for r in rows)  # each row sits on its seed
 
 
+def test_kmeans_fit_driver_bit_parity_with_distributed(spark):
+    """The bounded driver-side Lloyd loop (round 13,
+    DRIVER_FIT_MAX_CELLS — the fit-overhead fix measured in
+    SEMDEDUP_SF01_WALL_PROBE.json) must land on BIT-IDENTICAL
+    centroids and inertia history as the distributed loop: same
+    k-lowest-id seed, exact int64 distances, argmin's first-minimum
+    tie break == array_position(array_min), same floor-div update,
+    empty clusters keeping their previous centroid."""
+    from database_join_spark.catalog import table
+    from database_join_spark.operators.similarity import kmeans_fit
+
+    emb = table(spark, SF_DIR, "embeddings")
+    for k, iters in [(10, 3), (24, 2)]:
+        _, cd, hd = kmeans_fit(
+            emb, k=k, iterations=iters, track_inertia=True,
+            fit_mode="driver",
+        )
+        _, cs, hs = kmeans_fit(
+            emb, k=k, iterations=iters, track_inertia=True,
+            fit_mode="distributed",
+        )
+        assert cd == cs
+        assert hd == hs
+    # an unknown mode must raise, not silently pick a path
+    with pytest.raises(ValueError, match="fit_mode must be"):
+        kmeans_fit(emb, k=4, iterations=1, fit_mode="gpu")
+
+
 # --------------------------------------------------------------------------
 # dedup_semantic — k-means-bucketed semantic dedup must recover the
 # exact all-pairs ground truth (its declared validation contract)
