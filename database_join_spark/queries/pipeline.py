@@ -3557,6 +3557,30 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule); the registry-wide plan scan covers this id like any
     other.
     """
+    return _corpus_pipeline_frame(spark, sf_dir, persist_surv=True)
+
+
+def _corpus_pipeline_frame(
+    spark: SparkSession, sf_dir: str, persist_surv: bool
+) -> DataFrame:
+    """corpus_pipeline's body, with the stage-boundary
+    materialization switchable so the A/B probe
+    (scripts/corpus_surv_persist_probe.py) measures exactly the
+    shipped spelling against the recompute-per-branch one.
+
+    ``persist_surv=True`` is the shipped default (round 13): the
+    single-DAG spelling re-derives ``surv`` — full documents scan +
+    tokenize + fingerprint + window dedup, two exchanges — once per
+    consuming branch (excision, decontam, final join: nodes 1-11,
+    12-23, 39-49 of the before-plan, 30 Exchanges total). Persisting
+    the dedup survivors is the plan-level form of the at-scale
+    discipline the docstring already names (TOKEN_STAGING_PROBE:
+    the token-array column at rest is 0.46x the text bytes;
+    PIPELINE_E2E_PROBE's shared-tokens arm) — compute the boundary
+    once, feed all three branches. Routed through track_persist so
+    the next gated query's configure_session drains it."""
+    from database_join_spark.session import track_persist
+
     _size_exchanges(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     toks = docs.select(
@@ -3573,6 +3597,8 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = D.dedup_exact(corpus, ["fp"], "doc_id").select(
         "doc_id", "lang", "toks", "n_tokens"
     )
+    if persist_surv:
+        surv = track_persist(surv)
     exc = substring_excise_from_tokens(
         surv.select("doc_id", "toks")
     ).select(
