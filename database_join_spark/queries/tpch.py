@@ -31,7 +31,7 @@ top-k orders have unique-key tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_join_spark.catalog import table
@@ -1186,9 +1186,20 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unit_cost")
         )
     )
-    best = costs.groupBy(
-        F.col("c_partkey").alias("b_partkey")
-    ).agg(F.min("unit_cost").alias("min_cost"))
+    # The per-part minimum as a WINDOW over costs instead of a
+    # separate aggregate + equality join-back (round 13): the
+    # join-back spelling re-derived the whole costs pipeline — fact
+    # scan, broadcast prune, (part, supp) exchange, aggregate — once
+    # per side and met itself in a SortMergeJoin (before-plan: 11
+    # parquet scans, 5 exchanges, 2 sorts); the window computes
+    # min_cost on the SAME part-keyed exchange the join-back needed
+    # anyway and keeps exactly the rows the equality join kept
+    # (best has one row per partkey, so the join multiplied nothing).
+    # After-plan: 6 scans, the fact aggregated once, SMJ gone.
+    w = Window.partitionBy("c_partkey")
+    best_costs = costs.withColumn(
+        "min_cost", F.min("unit_cost").over(w)
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
     part = table(spark, sf_dir, "part").filter(
         "p_size <= 20 AND p_type = 'PROMO'"
     )
@@ -1198,12 +1209,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup_d = table(spark, sf_dir, "supplier")
     nat_d = table(spark, sf_dir, "nation")
     return (
-        costs.join(
-            best,
-            (F.col("b_partkey") == F.col("c_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
-        .join(part, part.p_partkey == F.col("c_partkey"))
+        best_costs.join(part, part.p_partkey == F.col("c_partkey"))
         .join(sup_d, sup_d.s_suppkey == F.col("c_suppkey"))
         .join(F.broadcast(nat_d), nat_d.n_nationkey == sup_d.s_nationkey)
         .select(
@@ -1532,15 +1538,24 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.expr(_DSUM.format(c="l_quantity")).alias("pair_qty"))
     )
-    part_tot = shipped.groupBy(
-        F.col("sh_partkey").alias("pt_partkey")
-    ).agg(F.expr(_DSUM.format(c="pair_qty")).alias("part_qty"))
+    # part_tot as a WINDOW over shipped instead of a reaggregate +
+    # join-back (round 13, the same rewrite as tpch_q2): the
+    # join-back derived the whole shipped pipeline twice and met
+    # itself in a SortMergeJoin; the window computes part_qty on one
+    # part-keyed exchange of the single shipped derivation. Value
+    # parity is EXACT, not approximate: _DSUM sums as DECIMAL(18,6)
+    # (order-independent), so the window total is bit-identical to
+    # the aggregate total — pinned by the unchanged DuckDB oracle.
     sup = table(spark, sf_dir, "supplier").filter(
         "s_nationkey IN (2, 3, 4)"
     )
+    w = Window.partitionBy("sh_partkey")
     return (
-        shipped.join(
-            part_tot, F.col("pt_partkey") == F.col("sh_partkey")
+        shipped.withColumn(
+            "part_qty",
+            F.sum(F.col("pair_qty").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double"),
         )
         .filter(F.col("pair_qty") > 0.5 * F.col("part_qty"))
         .join(sup, sup.s_suppkey == F.col("sh_suppkey"))
