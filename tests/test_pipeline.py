@@ -794,6 +794,16 @@ def test_semdedup_chunk_split_equals_unchunked(spark, monkeypatch):
         )
 
     base = pairs()
+    # round 13: the n_hint no-chunk fast path (census + persist
+    # skipped when the corpus provably fits one chunk) must emit the
+    # identical pair set and cosines as the census-driven machinery
+    fast = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in S.semdedup_pairs(
+            emb, k=10, iterations=3, m=4, threshold=0.4, n_hint=500
+        ).collect()
+    )
+    assert fast == base
     monkeypatch.setattr(S, "SEMDEDUP_TARGET_CHUNK", 40)
     forced = pairs()
     assert forced == base
