@@ -45,18 +45,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: membership in this set. History per id stays in STATUS.md
 #: (generated from the committed CORRECTNESS artifacts).
 #:
-#: Round-13 rotation (VERDICT r12 #6, rotation 11): retire the FULL
+#: Round-14 rotation (VERDICT r13 #2, rotation 12): retire the FULL
+#: 30-id r11 staleness tail (``dedup_simhash`` … ``text_analysis``
+#: — the inheritance rotation 11's note promised), keep the 4-id
+#: flagship block, and gate every id whose plan this optimization
+#: round rewrites or may rewrite — the r13 gate-hygiene flag: a
+#: rewritten id must be driver-oracle-proven in its rewrite round,
+#: not only by the sf0.001 parity pytest. That block is ``tpch_q2``
+#: and ``tpch_q20`` (rewritten r13, rotated out the same round —
+#: the flagged miss) plus the four round-14 optimization targets
+#: ``dedup_semantic``, ``dedup_minhash``, ``corpus_pipeline``,
+#: ``window_rank_topk``. The 10 remaining slots take the first 10
+#: of the 44-id r12 tail in sorted order (``agg_argmax`` …
+#: ``decontam_bloom``). 30 + 4 + 6 + 10 = exactly the 50-row cap.
+#: Everything rotated out holds a fresh r12/r13 row and remains
+#: pytest-hash-compared every run (tests/test_oracle_parity.py).
+#: After this round no registry id's newest driver row is older
+#: than r12.
+#:
+#: Round-13 rotation (VERDICT r12 #6, rotation 11): retired the FULL
 #: 30-id r10 staleness tail (``dedup_incremental`` — deferred by
 #: rotation 10's explicit note — plus ``distinct_hll_sketch`` …
-#: ``variant_json``), keep the 4-id flagship block, and — with 16
-#: slots free under the cap — take the first 16 of the 46-id r11
+#: ``variant_json``), kept the 4-id flagship block, and — with 16
+#: slots free under the cap — took the first 16 of the 46-id r11
 #: tail in sorted order (``agg_bucketed_exchange_free`` …
 #: ``dedup_ngram_jaccard``; the slice includes ``corpus_pipeline``
 #: and ``dedup_minhash``, both touched by round-13 sizing work).
-#: 30 + 4 + 16 = exactly the 50-row cap. Everything rotated out
-#: holds a fresh r11/r12 row and remains pytest-hash-compared every
-#: run (tests/test_oracle_parity.py). After this round no registry
-#: id's newest driver row is older than r11.
 #:
 #: Rotation history: r06 gave first rows to the r06-born ids except
 #: ``dedup_semantic`` (first row r07) and refreshed the r02/r03
@@ -77,29 +91,31 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: ``dedup_incremental``, through ``dedup_substring_apply`` — the
 #: slice kept all three round-12-touched dedup operators) + the 6
 #: round-12-born TPC-H ids — after r12 no id older than r10.
-#: Rotation 11 is this one.
+#: Rotation 12 is this one.
 DRIVER_GATE: frozenset[str] = frozenset({
-    # -- newest row r10: the complete staleness tail (30 ids)
-    "dedup_incremental",
-    "distinct_hll_sketch", "embed_quantize", "event_funnel",
-    "heavy_hitters_approx", "join_asof", "join_asof_bucketed",
-    "join_bloom_prefilter", "join_range_binned", "join_salted",
-    "join_skew_auto", "ngram_counts", "pack_sequences", "pii_scrub",
-    "quality_gopher_rules", "quality_lm_surprisal",
-    "quality_repetition", "retention_cohorts", "sample_hash_split",
-    "sample_stratified", "sample_weighted", "seq_len_hist",
-    "sessionize_events", "stream_sliding", "text_vocab",
-    "tfidf_terms", "topic_kmeans", "udf_grouped", "udf_grouped_agg",
-    "variant_json",
-    # -- r11-tail refresh: first 16 of the 46 r11 ids in sorted
-    #    order (through dedup_ngram_jaccard); rotation 12 inherits
-    #    the remaining 30 (dedup_simhash … text_analysis)
-    "agg_bucketed_exchange_free", "agg_distinct",
-    "agg_grouping_sets", "agg_partial_cache", "agg_quantile_approx",
-    "agg_salted", "approx_distinct_fm", "array_map_json",
-    "corpus_pipeline", "datagen_synthetic", "decontam_hashed",
-    "decontam_minhash", "dedup_embed_cosine",
-    "dedup_exact_survivors", "dedup_minhash", "dedup_ngram_jaccard",
+    # -- newest row r11: the complete staleness tail (30 ids)
+    "dedup_simhash", "dedup_substring_hashed", "filter_semijoin_sel",
+    "higher_order_funcs", "join_broadcast", "join_hash_multi",
+    "join_hash_single", "join_nlj_multi", "join_nlj_single",
+    "join_outer", "join_range", "join_semi_anti", "join_sortmerge",
+    "multimodal_features", "pivot_wide", "project_expr",
+    "scalar_funcs", "scan_columnar", "set_ops", "simsearch_embed",
+    "simsearch_ivf", "simsearch_ivf_stored", "simsearch_lsh",
+    "simsearch_lsh_stored", "sort_limit", "source_synthdocs",
+    "stream_interval_join", "stream_session", "stream_tumbling",
+    "text_analysis",
+    # -- rewrite re-gate (r13 gate-hygiene flag): the r13-rewritten
+    #    window spellings + this round's four optimization targets
+    "tpch_q2", "tpch_q20",
+    "dedup_semantic", "dedup_minhash", "corpus_pipeline",
+    "window_rank_topk",
+    # -- r12-tail refresh: first 10 of the 44 remaining r12 ids in
+    #    sorted order (through decontam_bloom); rotation 13 inherits
+    #    the rest (decontam_ngram … window_distribution)
+    "agg_argmax", "agg_avg_int_ext", "agg_quantile_exact",
+    "agg_repartition_first", "anomaly_zscore", "bpe_pair_counts",
+    "chunk_documents", "corpus_clean", "corpus_mix",
+    "decontam_bloom",
     # -- SURVEY §2 headline set (kept gated so the flagship surface
     #    is re-proven under the driver every round)
     "agg_scalar_avg",
