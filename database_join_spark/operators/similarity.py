@@ -649,6 +649,51 @@ def _kmeans_lloyd_np(
     return [[int(c) for c in row] for row in cents], history
 
 
+#: :func:`_driver_fit_rows` sentinels — distinguish "the input was
+#: collected and exceeds the row cap" (size PROVEN > max_rows ≥ k
+#: whenever k·dim fits the budget) from "no collect was attempted"
+#: (k·dim alone over budget, or the caller's n_hint proves the input
+#: over the cap) so callers with a minimum-rows decision to make
+#: (semdedup_pairs' degenerate-sample guard) know whether the probe
+#: already answered it.
+_PROBE_OVER_BUDGET = "over_budget"
+_PROBE_SKIPPED = "skipped"
+
+
+def _driver_fit_rows(
+    base: DataFrame, k: int, n_hint: int | None = None
+) -> list | str:
+    """Bounded driver-fit probe (see :data:`DRIVER_FIT_MAX_CELLS`):
+    collect the fit input iff it provably fits the driver cell
+    budget. One ``head()`` job for the dimension plus at most one
+    ≤32 MiB collect — the row cap is ``DRIVER_FIT_MAX_CELLS // dim``
+    with NO ``max(k, …)`` escape hatch (ADVICE r13: the old cap let
+    a k=110k/dim=768 fit collect ~0.7 GB to the driver only to fall
+    back anyway); when ``k·dim`` alone exceeds the budget the driver
+    loop could not hold the centroid matrix either, so the probe
+    skips without collecting. ``n_hint`` (ADVICE r13) is the
+    caller's known row count for ``base``: when it proves the input
+    over the cap the collect is skipped outright — large fits pay
+    zero probe jobs beyond the head.
+
+    Returns the collected rows (possibly empty), or
+    :data:`_PROBE_OVER_BUDGET` / :data:`_PROBE_SKIPPED`.
+    """
+    head = base.select("qv").head(1)
+    if not head:
+        return []
+    dim = max(1, len(head[0].qv))
+    if k * dim > DRIVER_FIT_MAX_CELLS:
+        return _PROBE_SKIPPED
+    max_rows = DRIVER_FIT_MAX_CELLS // dim
+    if n_hint is not None and n_hint > max_rows:
+        return _PROBE_SKIPPED
+    rows = base.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return _PROBE_OVER_BUDGET
+    return rows
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -658,6 +703,7 @@ def kmeans_fit(
     track_inertia: bool = False,
     assign_impl: str = "auto",
     fit_mode: str = "auto",
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, list[list[int]], list[int]]:
     """Lloyd's k-means over an embedding column in EXACT fixed-point
     integer arithmetic — every distance, assignment, and centroid
@@ -685,7 +731,55 @@ def kmeans_fit(
     history — empty unless ``track_inertia``, which adds one extra
     job per iteration and exists for the monotone-objective
     property test; the production path leaves it off).
+
+    ``n_hint`` (round 14, ADVICE r13): the caller's known row count
+    for ``df`` — when it proves the input over the driver-fit row
+    cap the probe's bounded collect is skipped outright, so large
+    fits pay one head() job instead of head + a ≤32 MiB collect.
+    A hint, never a limit: absent or small hints change nothing.
+
+    Driver/distributed bit-parity is scoped to the EXACT-assign
+    regime (k below ``TWOLEVEL_ASSIGN_MIN_K`` under
+    ``assign_impl='auto'``, or an explicit exact impl): past it the
+    distributed loop's per-iteration assign runs the two-level
+    quantizer, whose bounded deviation (measured 2e-6 at 1M/k=1000,
+    SEMDEDUP_TWOLEVEL_PROBE.json) can move a boundary vector between
+    clusters, while the driver loop's numpy argmin is always exact —
+    so fit_mode='driver' vs 'distributed' can diverge there (ADVICE
+    r13). Fixture-scale k never enters that regime.
     """
+    base, cents, history = _fit_centroids(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        iterations=iterations,
+        track_inertia=track_inertia,
+        assign_impl=assign_impl,
+        fit_mode=fit_mode,
+        n_hint=n_hint,
+    )
+    return kmeans_assign(base, cents, impl=assign_impl), cents, history
+
+
+def _fit_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iterations: int = 5,
+    track_inertia: bool = False,
+    assign_impl: str = "auto",
+    fit_mode: str = "auto",
+    n_hint: int | None = None,
+) -> tuple[DataFrame, list[list[int]], list[int]]:
+    """:func:`kmeans_fit` minus the returned assignment — the
+    centroids-only core, split out (round 14) for callers that
+    discard the assignment (``semdedup_pairs`` blocks on its OWN
+    full-corpus frame): constructing the k·dim literal assign tree
+    costs real Catalyst analysis time that a centroids-only caller
+    never executes. Returns (quantized persisted base, centroids,
+    inertia history)."""
     from database_join_spark.session import track_persist
 
     # Persisted: the loop reads ``base`` iterations+1 times (one
@@ -707,31 +801,31 @@ def kmeans_fit(
         )
     )
     if fit_mode != "distributed":
-        # Bounded driver fit (round 13, see DRIVER_FIT_MAX_CELLS):
-        # one head() for dim, one ≤32 MiB collect for the sample; if
-        # the sample exceeds the cell budget the collect is abandoned
-        # at max_rows+1 rows and the distributed loop below runs
+        # Bounded driver fit (round 13, see DRIVER_FIT_MAX_CELLS /
+        # _driver_fit_rows): if the input exceeds the cell budget the
+        # collect is abandoned (or, with n_hint / k·dim over budget,
+        # never attempted) and the distributed loop below runs
         # unchanged (its cost at that scale dwarfs the probe's).
-        head = base.select("qv").head(1)
-        if head:
-            dim = len(head[0].qv)
-            max_rows = max(k, DRIVER_FIT_MAX_CELLS // max(1, dim))
-            rows = base.limit(max_rows + 1).collect()
-            if len(rows) <= max_rows:
-                cents, history = _kmeans_lloyd_np(
-                    rows, k, iterations, track_inertia
-                )
-                return (
-                    kmeans_assign(base, cents, impl=assign_impl),
-                    cents,
-                    history,
-                )
-            if fit_mode == "driver":
+        rows = _driver_fit_rows(base, k, n_hint=n_hint)
+        if isinstance(rows, list) and rows:
+            cents, history = _kmeans_lloyd_np(
+                rows, k, iterations, track_inertia
+            )
+            return base, cents, history
+        if fit_mode == "driver":
+            if isinstance(rows, list):
+                # Empty input under the strict mode used to fall
+                # through silently to the distributed seed/loop
+                # (ADVICE r13) — fail like the over-budget case does.
                 raise ValueError(
-                    f"fit_mode='driver' but input exceeds "
-                    f"{max_rows} rows at dim {dim} "
-                    f"(DRIVER_FIT_MAX_CELLS={DRIVER_FIT_MAX_CELLS})"
+                    "fit_mode='driver' on an empty input: nothing "
+                    "to fit"
                 )
+            raise ValueError(
+                f"fit_mode='driver' but input exceeds the driver "
+                f"cell budget ({rows}; "
+                f"DRIVER_FIT_MAX_CELLS={DRIVER_FIT_MAX_CELLS})"
+            )
     seed_rows = base.orderBy("id").limit(k).collect()
     cents = [list(r.qv) for r in sorted(seed_rows, key=lambda r: r.id)]
     # Fewer rows than k → fewer seeds than the update loop iterates;
@@ -1492,26 +1586,87 @@ def semdedup_pairs(
     construction (regression-pinned), aimed at the 1M wall the
     sampled-fit probe measured as ~95% scorer.
     """
-    fit_input = emb
+    # A corpus smaller than ~mod·k can leave the hash sample with
+    # fewer than k rows; fitting on it would clamp k toward the
+    # sample size and the assign would block against a degenerate
+    # centroid set — silently wrong pairs instead of an error
+    # (ADVICE r10): a sample with < k rows falls back to the
+    # full-corpus fit. Round 14 folds that guard INTO the fit's own
+    # driver probe: the bounded collect the driver-side Lloyd fit
+    # needs anyway IS the guard's evidence (len(rows) < k ⟺ the old
+    # limit(k).count() < k), so the common path pays one collect
+    # instead of a separate count job + dim head + collect — and,
+    # because only the centroids are needed here (the blocking
+    # assign below runs on the FULL corpus), the k·dim literal
+    # assign tree kmeans_fit would return is never constructed
+    # (measured ~0.1 s of Catalyst analysis per run at k=10/dim=64,
+    # SEMDEDUP_R14_PHASE_PROBE.json). Identical decisions, identical
+    # centroids, three fewer per-run driver round trips.
     if fit_sample_mod is not None and fit_sample_mod > 1:
         fit_input = emb.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod))
             == 0
         )
-        # A corpus smaller than ~mod·k can leave the hash sample with
-        # fewer than k rows; kmeans_fit would then clamp k toward the
-        # sample size and the assign would block against a degenerate
-        # centroid set — silently wrong pairs instead of an error
-        # (ADVICE r10). limit(k) bounds the check to k rows scanned.
-        if fit_input.limit(k).count() < k:
-            fit_input = emb
-    _assigned, cents, _hist = kmeans_fit(
-        fit_input,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        iterations=iterations,
-    )
+        # No track_persist: unlike the fit loop, the sample frame is
+        # consumed exactly once (head + bounded collect) — caching
+        # its blocks bought nothing and cost the memory-store writes.
+        sbase = fit_input.select(
+            F.col(id_col).alias("id"),
+            F.expr(_quant(vec_col)).alias("qv"),
+        )
+        rows = _driver_fit_rows(sbase, k)
+        if isinstance(rows, list) and len(rows) >= k:
+            cents, _hist = _kmeans_lloyd_np(
+                rows, k, iterations, track_inertia=False
+            )
+        elif isinstance(rows, list):
+            # Degenerate sample (the ADVICE r10 guard): full-corpus
+            # fit, with the corpus rowcount hint forwarded so a big
+            # corpus skips the probe collect (ADVICE r13).
+            _base, cents, _hist = _fit_centroids(
+                emb,
+                id_col=id_col,
+                vec_col=vec_col,
+                k=k,
+                iterations=iterations,
+                n_hint=n_hint,
+            )
+        elif rows == _PROBE_OVER_BUDGET:
+            # > max_rows ≥ k sampled rows (the probe only collects
+            # when k·dim fits the budget, so max_rows ≥ k): the
+            # guard provably passes — distributed fit on the sample,
+            # skipping the re-probe it would otherwise repeat.
+            _base, cents, _hist = _fit_centroids(
+                fit_input,
+                id_col=id_col,
+                vec_col=vec_col,
+                k=k,
+                iterations=iterations,
+                fit_mode="distributed",
+            )
+        else:
+            # Probe skipped without collecting (k·dim alone over the
+            # driver budget): sample size unknown — the explicit
+            # guard count is still required, exactly as before.
+            fit_guarded = fit_input
+            if fit_input.limit(k).count() < k:
+                fit_guarded = emb
+            _base, cents, _hist = _fit_centroids(
+                fit_guarded,
+                id_col=id_col,
+                vec_col=vec_col,
+                k=k,
+                iterations=iterations,
+            )
+    else:
+        _base, cents, _hist = _fit_centroids(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            iterations=iterations,
+            n_hint=n_hint,
+        )
     base = emb.select(
         F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
     )

@@ -741,6 +741,70 @@ def test_kmeans_fit_driver_bit_parity_with_distributed(spark):
         kmeans_fit(emb, k=4, iterations=1, fit_mode="gpu")
 
 
+def test_driver_fit_probe_contract(spark):
+    """Round-14 pins for the folded driver-fit probe (ADVICE r13):
+
+    - k·dim over DRIVER_FIT_MAX_CELLS skips WITHOUT collecting (the
+      old ``max(k, …)`` row cap collected up to k full-dim rows —
+      ~0.7 GB at k=110k/dim=768 — only to fall back anyway);
+    - an ``n_hint`` proving the input over the row cap skips the
+      collect outright (large fits pay one head() job);
+    - a small input collects, an over-cap input reports over-budget,
+      an empty input reports an empty list;
+    - fit_mode='driver' on an empty input raises (it used to fall
+      through silently to the distributed seed/loop);
+    - an honest n_hint leaves kmeans_fit's centroids bit-identical.
+    """
+    from pyspark.sql import functions as F
+
+    from database_join_spark.catalog import table
+    from database_join_spark.operators import similarity as S
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(S._quant("embedding")).alias("qv"),
+    )
+    # dim=64 → k·dim over budget at k > 2^22/64
+    k_big = S.DRIVER_FIT_MAX_CELLS // 64 + 1
+    assert S._driver_fit_rows(base, k_big) == S._PROBE_SKIPPED
+    # n_hint over the row cap: skipped without a collect
+    assert (
+        S._driver_fit_rows(base, 10, n_hint=S.DRIVER_FIT_MAX_CELLS)
+        == S._PROBE_SKIPPED
+    )
+    # small input: collected (the fixture is 500 rows at dim 64)
+    rows = S._driver_fit_rows(base, 10)
+    assert isinstance(rows, list) and len(rows) == 500
+    # honest hint == no hint
+    rows_h = S._driver_fit_rows(base, 10, n_hint=500)
+    assert isinstance(rows_h, list) and len(rows_h) == 500
+    # over-cap input: over-budget sentinel (shrink the budget so the
+    # fixture itself overflows the row cap)
+    import database_join_spark.operators.similarity as sim
+
+    old = sim.DRIVER_FIT_MAX_CELLS
+    try:
+        sim.DRIVER_FIT_MAX_CELLS = 64 * 100  # cap = 100 rows
+        assert S._driver_fit_rows(base, 2) == S._PROBE_OVER_BUDGET
+    finally:
+        sim.DRIVER_FIT_MAX_CELLS = old
+    # empty input: empty list from the probe; strict driver mode raises
+    empty = base.filter("id < 0")
+    assert S._driver_fit_rows(empty, 10) == []
+    with pytest.raises(ValueError, match="empty input"):
+        S.kmeans_fit(
+            emb.filter("vec_id < 0"), k=4, iterations=1,
+            fit_mode="driver",
+        )
+    # n_hint plumbing through kmeans_fit: same centroids either way
+    _, c0, h0 = S.kmeans_fit(emb, k=10, iterations=2, track_inertia=True)
+    _, c1, h1 = S.kmeans_fit(
+        emb, k=10, iterations=2, track_inertia=True, n_hint=500
+    )
+    assert c0 == c1 and h0 == h1
+
+
 # --------------------------------------------------------------------------
 # dedup_semantic — k-means-bucketed semantic dedup must recover the
 # exact all-pairs ground truth (its declared validation contract)
