@@ -661,7 +661,10 @@ _PROBE_SKIPPED = "skipped"
 
 
 def _driver_fit_rows(
-    base: DataFrame, k: int, n_hint: int | None = None
+    base: DataFrame,
+    k: int,
+    n_hint: int | None = None,
+    dim_hint: int | None = None,
 ) -> list | str:
     """Bounded driver-fit probe (see :data:`DRIVER_FIT_MAX_CELLS`):
     collect the fit input iff it provably fits the driver cell
@@ -676,13 +679,24 @@ def _driver_fit_rows(
     over the cap the collect is skipped outright — large fits pay
     zero probe jobs beyond the head.
 
+    ``dim_hint`` (round 14) is the caller's known vector
+    dimensionality — the engine's embedding tables are fixed-dim by
+    construction, so one cached catalog value (``parquet_list_dim``)
+    stands for the whole column and the per-run ``head(1)``
+    dim-discovery job is skipped: the row cap is computed from the
+    hint and emptiness falls out of the collect itself. A trusted
+    statistic like n_hint: both come from the same table catalog.
+
     Returns the collected rows (possibly empty), or
     :data:`_PROBE_OVER_BUDGET` / :data:`_PROBE_SKIPPED`.
     """
-    head = base.select("qv").head(1)
-    if not head:
-        return []
-    dim = max(1, len(head[0].qv))
+    if dim_hint is not None:
+        dim = max(1, dim_hint)
+    else:
+        head = base.select("qv").head(1)
+        if not head:
+            return []
+        dim = max(1, len(head[0].qv))
     if k * dim > DRIVER_FIT_MAX_CELLS:
         return _PROBE_SKIPPED
     max_rows = DRIVER_FIT_MAX_CELLS // dim
@@ -704,6 +718,7 @@ def kmeans_fit(
     assign_impl: str = "auto",
     fit_mode: str = "auto",
     n_hint: int | None = None,
+    dim_hint: int | None = None,
 ) -> tuple[DataFrame, list[list[int]], list[int]]:
     """Lloyd's k-means over an embedding column in EXACT fixed-point
     integer arithmetic — every distance, assignment, and centroid
@@ -758,6 +773,7 @@ def kmeans_fit(
         assign_impl=assign_impl,
         fit_mode=fit_mode,
         n_hint=n_hint,
+        dim_hint=dim_hint,
     )
     return kmeans_assign(base, cents, impl=assign_impl), cents, history
 
@@ -772,6 +788,7 @@ def _fit_centroids(
     assign_impl: str = "auto",
     fit_mode: str = "auto",
     n_hint: int | None = None,
+    dim_hint: int | None = None,
 ) -> tuple[DataFrame, list[list[int]], list[int]]:
     """:func:`kmeans_fit` minus the returned assignment — the
     centroids-only core, split out (round 14) for callers that
@@ -806,7 +823,9 @@ def _fit_centroids(
         # collect is abandoned (or, with n_hint / k·dim over budget,
         # never attempted) and the distributed loop below runs
         # unchanged (its cost at that scale dwarfs the probe's).
-        rows = _driver_fit_rows(base, k, n_hint=n_hint)
+        rows = _driver_fit_rows(
+            base, k, n_hint=n_hint, dim_hint=dim_hint
+        )
         if isinstance(rows, list) and rows:
             cents, history = _kmeans_lloyd_np(
                 rows, k, iterations, track_inertia
@@ -1537,6 +1556,7 @@ def semdedup_pairs(
     fit_sample_mod: int | None = None,
     coarse_score: bool = False,
     n_hint: int | None = None,
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """SemDeDup candidate-pair scoring: exact-integer k-means fit →
     multi-probe blocking (:func:`kmeans_assign_topm`, m nearest
@@ -1578,6 +1598,13 @@ def semdedup_pairs(
     identical output, two fewer jobs. It is a hint, never a limit:
     an absent or large hint runs the full chunking machinery.
 
+    ``dim_hint`` (round 14) is the caller's known embedding
+    dimensionality (the cached ``parquet_list_dim`` statistic):
+    with it the fit probe computes its row cap directly and skips
+    the per-run ``head(1)`` dim-discovery job — the sampled-fit
+    common path then pays exactly ONE Spark job (the bounded
+    collect) before the blocking assign. Absent hint: unchanged.
+
     ``coarse_score=True`` switches the within-block scorer to the
     two-tier int8/SGEMM pass (see :func:`_block_scorer`): the
     pairwise sweep runs at float32 GEMM speed over int8 images with
@@ -1614,7 +1641,7 @@ def semdedup_pairs(
             F.col(id_col).alias("id"),
             F.expr(_quant(vec_col)).alias("qv"),
         )
-        rows = _driver_fit_rows(sbase, k)
+        rows = _driver_fit_rows(sbase, k, dim_hint=dim_hint)
         if isinstance(rows, list) and len(rows) >= k:
             cents, _hist = _kmeans_lloyd_np(
                 rows, k, iterations, track_inertia=False
@@ -1630,6 +1657,7 @@ def semdedup_pairs(
                 k=k,
                 iterations=iterations,
                 n_hint=n_hint,
+                dim_hint=dim_hint,
             )
         elif rows == _PROBE_OVER_BUDGET:
             # > max_rows ≥ k sampled rows (the probe only collects
@@ -1666,6 +1694,7 @@ def semdedup_pairs(
             k=k,
             iterations=iterations,
             n_hint=n_hint,
+            dim_hint=dim_hint,
         )
     base = emb.select(
         F.col(id_col).alias("id"), F.expr(_quant(vec_col)).alias("qv")
@@ -1744,9 +1773,30 @@ def semdedup_pairs(
                 F.greatest("ch", "other").alias("cb"),
             )
         )
-    scored = chunked.groupBy("block", "ca", "cb").applyInPandas(
-        _block_scorer(threshold, coarse=coarse_score),
-        schema="id_a long, id_b long, dot long, n2_a long, n2_b long",
+    # Scorer-exchange width = k, the algorithm's own parallel unit
+    # count (round 14, guide §2.2/§2.5): the per-group GEMM's cost is
+    # Σ|block|² — quadratic in group size, invisible to AQE's
+    # byte-based coalescing, which at small byte volumes collapses
+    # the exchange to ONE post-shuffle task and runs every block's
+    # GEMM serially in one Python worker (measured at sf0.1: 0.88 →
+    # 0.70 s on the scorer subplan from this line alone, identical
+    # output). An explicit repartition(k) pins one task per block —
+    # exactly the "one task per (block, ca, cb)" contract the
+    # chunk-pair machinery documents — and is scale-adaptive, not
+    # local-core-tuned: k = k_for(n) ∝ n, so at 100M vectors this is
+    # ~25k tasks of ~the designed ≤1 s GEMM each, while chunk pairs
+    # of an oversized block hash across the same width. The groupBy
+    # reuses the exchange (hashpartitioning on the same keys), so
+    # the plan still carries exactly one data shuffle.
+    scored = (
+        chunked.repartition(max(1, k), "block", "ca", "cb")
+        .groupBy("block", "ca", "cb")
+        .applyInPandas(
+            _block_scorer(threshold, coarse=coarse_score),
+            schema=(
+                "id_a long, id_b long, dot long, n2_a long, n2_b long"
+            ),
+        )
     )
     return (
         scored.select(

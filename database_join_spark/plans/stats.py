@@ -244,6 +244,30 @@ def parquet_rowcount(table_dir: str) -> int:
     )
 
 
+def parquet_list_dim(table_dir: str, column: str) -> int | None:
+    """Element count of ``column``'s first non-null list value — the
+    embedding-dimensionality statistic (round 14). One leading
+    row-group read of one column from one file; ``None`` if every
+    value is null/absent. The engine's embedding tables are
+    fixed-dim by construction (the quantize/GEMM kernels assume it),
+    so one value pins the table's dim the same way one footer pins
+    its row count. Cached through :func:`cached_statistic` on the
+    size+mtime table key, this lets the driver-side k-means fit skip
+    its per-run ``head(1)`` dim-discovery job entirely."""
+    import pyarrow.parquet as pq
+
+    p = Path(table_dir)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    for f in files:
+        pf = pq.ParquetFile(str(f))
+        for rg in range(pf.num_row_groups):
+            col = pf.read_row_group(rg, columns=[column]).column(0)
+            for v in col:
+                if v.is_valid:
+                    return len(v)
+    return None
+
+
 #: Sample size for the mean-tokens-per-doc statistic: 10k docs reads
 #: ~one parquet file/row-group per sampled file and pins the mean to
 #: a few percent — the sizing rule rounds to multiples of the core

@@ -3399,14 +3399,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     balancing).
     """
     from ..plans.sizing import fit_sample_mod_for, k_for
-    from ..plans.stats import parquet_rowcount, parquet_table_key
-    from ..plans.stats import cached_statistic
+    from ..plans.stats import parquet_list_dim, parquet_rowcount
+    from ..plans.stats import cached_statistic, parquet_table_key
 
     emb_path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    table_key = parquet_table_key(emb_path)
     n_vec, _ = cached_statistic(
-        parquet_table_key(emb_path),
+        table_key,
         "rowcount",
         lambda: parquet_rowcount(emb_path),
+    )
+    # Cached dim statistic (round 14): lets the sampled fit's driver
+    # probe skip its per-run head(1) dim-discovery job — the fit
+    # path is then one bounded collect, zero other Spark jobs.
+    dim, _ = cached_statistic(
+        table_key,
+        "list_dim|col=embedding",
+        lambda: parquet_list_dim(emb_path, "embedding"),
     )
     k = k_for(int(n_vec))
     emb = table(spark, sf_dir, "embeddings")
@@ -3418,6 +3427,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_COS_DUP_THRESHOLD,
         fit_sample_mod=fit_sample_mod_for(int(n_vec), k),
         n_hint=int(n_vec),
+        dim_hint=int(dim) if dim is not None else None,
     )
 
 

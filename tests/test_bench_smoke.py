@@ -81,6 +81,23 @@ def test_bench_emits_one_valid_slim_json_line(tmp_path):
     # ... and the host drift-adjudication block (round 9, r08 #5;
     # round 12 adds the recorded quiet-window decision, r11 #3)
     assert set(out.get("host", {})) == {"start", "mid", "end", "quiet"}
+    # round 14 (VERDICT r13 #7): the committed quiet-control band
+    # rides the line when the artifact is readable — per-query
+    # medians rounded to the 0.01 s band plus its recorded load1 —
+    # so a "regressed" status can be read against the quiet band
+    # without re-deriving it from repo history. Additions-only: all
+    # pre-existing keys above are untouched.
+    if (REPO / "BENCH_SF_ONLY.json").exists():
+        qc = out.get("quiet_control")
+        assert qc is not None and qc["source"] == "BENCH_SF_ONLY.json"
+        committed = json.loads(
+            (REPO / "BENCH_SF_ONLY.json").read_text()
+        )["queries"]
+        assert set(qc["queries"]) == set(committed)
+        assert all(
+            abs(qc["queries"][k] - committed[k]) <= 0.005 + 1e-9
+            for k in committed
+        )
     waited, load1 = out["host"]["quiet"]
     assert waited >= 0 and load1 > 0
     # sizing decisions / runs arrays / derivable per-row extras are

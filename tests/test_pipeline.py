@@ -803,6 +803,24 @@ def test_driver_fit_probe_contract(spark):
         emb, k=10, iterations=2, track_inertia=True, n_hint=500
     )
     assert c0 == c1 and h0 == h1
+    # dim_hint (round 14): skips the head(1) job, same rows/centroids;
+    # the cached catalog statistic must agree with the data
+    from database_join_spark.plans.stats import parquet_list_dim
+
+    dim = parquet_list_dim(f"{SF_DIR}/embeddings.parquet", "embedding")
+    assert dim == 64
+    rows_d = S._driver_fit_rows(base, 10, dim_hint=dim)
+    assert isinstance(rows_d, list) and len(rows_d) == 500
+    _, c2, h2 = S.kmeans_fit(
+        emb, k=10, iterations=2, track_inertia=True,
+        n_hint=500, dim_hint=dim,
+    )
+    assert c0 == c2 and h0 == h2
+    # k·dim_hint over budget: skipped with zero jobs
+    assert (
+        S._driver_fit_rows(base, k_big, dim_hint=dim)
+        == S._PROBE_SKIPPED
+    )
 
 
 # --------------------------------------------------------------------------
