@@ -638,6 +638,33 @@ def main() -> None:
         "full_artifact": "BENCH_FULL.json",
     }
 
+    # Quiet-band reference (VERDICT r13 #7): the committed same-day
+    # quiet control's per-query medians ride along in the emitted
+    # line so a per-row "regressed" status can be read against the
+    # quiet band without a human re-deriving it from repo history —
+    # round 13 adjudicated five fake regressions that the control
+    # already disproved. This is capture METADATA (what the same
+    # code measured on a quiet box, host load recorded), never a
+    # substitute for the live timings above; additions-only.
+    qc_path = Path(_REPO) / "BENCH_SF_ONLY.json"
+    if qc_path.exists():
+        try:
+            qc = json.loads(qc_path.read_text())
+            qc_quiet = (qc.get("host") or {}).get("quiet_window") or {}
+            out["quiet_control"] = {
+                # 0.01 s precision: this is a noise BAND, and the
+                # compact line has ~100 chars of headroom — the
+                # unrounded control stays in BENCH_SF_ONLY.json
+                "queries": {
+                    k: round(float(v), 2)
+                    for k, v in (qc.get("queries") or {}).items()
+                },
+                "load1": qc_quiet.get("load1_at_capture"),
+                "source": "BENCH_SF_ONLY.json",
+            }
+        except (ValueError, OSError, TypeError):
+            pass  # unreadable control: emit without the band
+
     full = dict(out)
     full["reference_workload"] = throughput
     full["host"] = {
@@ -667,6 +694,11 @@ def main() -> None:
 
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the 2,000-char tail capture
+        # the quiet band is derivable from the committed artifact —
+        # shed it before anything the driver can only get from here
+        out.pop("quiet_control", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
         out.pop("reference_workload", None)
         out["reference_workload_in"] = "BENCH_FULL.json"
         line = json.dumps(out, separators=(",", ":"))
