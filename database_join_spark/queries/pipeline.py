@@ -3567,7 +3567,17 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule); the registry-wide plan scan covers this id like any
     other.
     """
-    return _corpus_pipeline_frame(spark, sf_dir, persist_surv=True)
+    # Round 14 (VERDICT r13 #6): persist_surv=False. The round-13
+    # boundary materialization was an honest bench-scale wash (2.32
+    # vs 2.30 s) shipped on an at-scale argument; the verdict ordered
+    # the wash resolved at 1M docs and the clean alternating A/B
+    # (CORPUS_SURV_PERSIST_1M_PROBE.json, sole workload on the box)
+    # measured the persist 18-22% SLOWER there — recompute 96/101 s
+    # vs persist 114/126 s, answers identical — the cache-fill cost
+    # and lost branch overlap exceed the recomputed subtree. The
+    # single-DAG spelling is the shipped one; the switch and both
+    # probes stay so the decision is re-measurable.
+    return _corpus_pipeline_frame(spark, sf_dir, persist_surv=False)
 
 
 def _corpus_pipeline_frame(
