@@ -65,11 +65,24 @@ def child(store_dir: str, batch_dir: str, cpus: int, out_path: str):
         sec, h = probe_once()
         assert h == hits
         runs.append(sec)
+    # The O(state) term in isolation: a full pass over the cached
+    # store (noop sink — every row materialized) WITHOUT the probe
+    # join's per-action broadcast build, which is driver-serial and
+    # fixed per batch. The distributability claim is about THIS
+    # term; the full probe wall above carries the fixed build too.
+    store_b = _bucket_store_frame(spark, store_dir)
+    scans = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        store_b.write.format("noop").mode("overwrite").save()
+        scans.append(time.perf_counter() - t0)
     rec = {
         "cpus": cpus,
         "first_probe_sec": round(first_sec, 2),
         "cached_probe_runs_sec": [round(r, 3) for r in runs],
         "cached_probe_median_sec": round(statistics.median(runs), 3),
+        "cached_scan_runs_sec": [round(r, 3) for r in scans],
+        "cached_scan_median_sec": round(statistics.median(scans), 3),
         "hit_pairs": hits,
         "host": host_snapshot(),
     }
@@ -80,7 +93,7 @@ def child(store_dir: str, batch_dir: str, cpus: int, out_path: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
-    ap.add_argument("--batch-docs", type=int, default=100_000)
+    ap.add_argument("--batch-docs", type=int, default=20_000)
     ap.add_argument("--child-store")
     ap.add_argument("--child-batch")
     ap.add_argument("--child-cpus", type=int)
@@ -110,11 +123,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def buckets_of(df):
-        toks = df.select(
-            "doc_id", T.tokens("text").alias("toks")
-        ).select(
-            "doc_id",
-            D.shingle_hashes_from_tokens("toks", SHINGLE_N).alias("hs"),
+        # tok_col-must-be-materialized contract
+        # (dedup.shingle_hashes_from_tokens): localCheckpoint the
+        # token frame so CollapseProject cannot re-inline the
+        # tokenizer into every n-gram element_at (the round-10 19×
+        # trap — the first run of this probe sat 17 min in stage 0
+        # on exactly that)
+        toks = (
+            df.select("doc_id", T.tokens("text").alias("toks"))
+            .localCheckpoint(eager=True)
+            .select(
+                "doc_id",
+                D.shingle_hashes_from_tokens("toks", SHINGLE_N).alias(
+                    "hs"
+                ),
+            )
         )
         return D.banded_buckets(
             toks,
@@ -125,16 +148,23 @@ def main() -> None:
             prehashed=True,
         )
 
-    # store = the first `docs` documents' bucket rows (what `docs`
-    # admitted days would have appended); batch = the next
-    # `batch_docs` documents probing it
-    corpus = synth_corpus(spark, args.docs + args.batch_docs)
-    buckets_of(corpus.filter(F.col("doc_id") < args.docs)).select(
+    # store = `docs` documents' bucket rows (what that many admitted
+    # docs would have appended); batch = ONE ingest trigger's worth
+    # (~4 files ≈ 20k docs — the real per-batch bound), drawn from
+    # the store's own id range so the probe has a realistic
+    # duplicate-heavy hit mass (a re-crawled slice). The first probe
+    # run of this script used a 100k-doc batch: its 1.6M-row
+    # broadcast build is driver-serial and dominated BOTH arms,
+    # measuring the broadcast, not the scan.
+    corpus = synth_corpus(spark, args.docs)
+    buckets_of(corpus).select(
         "doc_id", "band", "bucket"
     ).write.mode("overwrite").parquet(store_dir)
-    buckets_of(corpus.filter(F.col("doc_id") >= args.docs)).select(
-        "doc_id", "band", "bucket"
-    ).write.mode("overwrite").parquet(batch_dir)
+    buckets_of(
+        corpus.filter(F.col("doc_id") < args.batch_docs)
+    ).select("doc_id", "band", "bucket").write.mode(
+        "overwrite"
+    ).parquet(batch_dir)
     store_rows = spark.read.parquet(store_dir).count()
     spark.stop()
 
@@ -170,6 +200,9 @@ def main() -> None:
     a8 = out["arms"]["8"]["cached_probe_median_sec"]
     a32 = out["arms"]["32"]["cached_probe_median_sec"]
     out["speedup_8_to_32"] = round(a8 / a32, 2)
+    s8 = out["arms"]["8"]["cached_scan_median_sec"]
+    s32 = out["arms"]["32"]["cached_scan_median_sec"]
+    out["scan_speedup_8_to_32"] = round(s8 / s32, 2)
     out["ideal"] = 4.0
     assert (
         out["arms"]["8"]["hit_pairs"] == out["arms"]["32"]["hit_pairs"]
