@@ -26,6 +26,8 @@ in its docstring).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -949,6 +951,19 @@ def _np_sqdists(q, cents, n2c):
 #: round-12 k-ladder).
 _ASSIGN_TILE_CELLS = 1 << 24
 
+#: Cap on ROWS EMITTED per assign tile (round 14): the Arrow-batch
+#: sweep at the 8M rung (SEMDEDUP_8M_TUNE_PROBE.json) measured the
+#: mapInPandas assign at 60 s with the default 10k-row input batches,
+#: 45 s at 2.5k, and 176 s at 40k — identical emitted rows — i.e.
+#: per-yield frame size, not distance arithmetic, drives the wall
+#: through worker allocation churn (each yielded row carries a
+#: dim-length object array). Bounding the tile by emitted rows
+#: (tile_rows · m) reproduces the measured optimum without touching
+#: the session-global Arrow batch conf that every OTHER pandas op
+#: shares. 10k emitted rows ≈ the measured-best 2.5k input rows at
+#: m=4.
+_ASSIGN_EMIT_ROWS = 10_000
+
 
 def _topm_exact(d2, m):
     """Top-m column indices per row of ``d2``, ordered exactly like
@@ -1022,7 +1037,13 @@ def kmeans_assign_topm_np(
     bc = spark.sparkContext.broadcast((cents, n2c))
 
     k = len(centroids)
-    tile_rows = max(1, _ASSIGN_TILE_CELLS // max(1, k))
+    tile_rows = max(
+        1,
+        min(
+            _ASSIGN_TILE_CELLS // max(1, k),
+            _ASSIGN_EMIT_ROWS // max(1, m),
+        ),
+    )
 
     def assign(batches):
         import pandas as pd
@@ -1195,7 +1216,11 @@ def kmeans_assign_topm_2l(
     # discipline as the flat assign.
     mean_cell = max(1, -(-k // kc))
     tile_rows = max(
-        1, _ASSIGN_TILE_CELLS // max(kc, mc * mean_cell)
+        1,
+        min(
+            _ASSIGN_TILE_CELLS // max(kc, mc * mean_cell),
+            _ASSIGN_EMIT_ROWS // max(1, m),
+        ),
     )
 
     def assign(batches):
@@ -1300,7 +1325,12 @@ def kmeans_assign_np(
     bc = spark.sparkContext.broadcast((cents, n2c))
 
     k = len(centroids)
-    tile_rows = max(1, _ASSIGN_TILE_CELLS // max(1, k))
+    # nearest-only: one emitted row per input row, so the emit cap
+    # divides by 1 (see _ASSIGN_EMIT_ROWS)
+    tile_rows = max(
+        1,
+        min(_ASSIGN_TILE_CELLS // max(1, k), _ASSIGN_EMIT_ROWS),
+    )
 
     def assign(batches):
         import pandas as pd
@@ -1387,7 +1417,13 @@ def kmeans_assign_np_2l(
         (coarse, n2coarse, grouped, ids_g, n2g, cell_start)
     )
     mean_cell = max(1, -(-k // kc))
-    tile_rows = max(1, _ASSIGN_TILE_CELLS // max(kc, mc * mean_cell))
+    tile_rows = max(
+        1,
+        min(
+            _ASSIGN_TILE_CELLS // max(kc, mc * mean_cell),
+            _ASSIGN_EMIT_ROWS,
+        ),
+    )
 
     def assign(batches):
         import pandas as pd
@@ -1731,9 +1767,30 @@ def semdedup_pairs(
             F.lit(0).alias("cb"),
         )
     else:
-        blocks = track_persist(
-            kmeans_assign_topm(base, cents, m=m, ratio=ratio)
+        assign_frame = kmeans_assign_topm(base, cents, m=m, ratio=ratio)
+        # Memory-adaptive persist (round 14, guide §5: cache only
+        # when recompute costs more than the memory pressure): the
+        # blocks frame is n·m rows of (block, id, qv) — at 8M
+        # vectors / dim 64 / m=4 that is ~17 GB, and persisting it
+        # on the default 8 g heap OOM'd the 8M end-to-end probe
+        # outright (SEMDEDUP_8M_TUNE_PROBE.json) while the recompute
+        # alternative is ONE bounded extra n·√k assign pass (45 s at
+        # 8M). When the caller's catalog hints prove the frame over
+        # the budget, skip the cache and let the census + chunk-pair
+        # join each derive the (deterministic) assign; hints absent
+        # or small: persist exactly as before.
+        est_bytes = (
+            n_hint * m * (dim_hint * 8 + 48)
+            if n_hint is not None and dim_hint is not None
+            else None
         )
+        if (
+            est_bytes is not None
+            and est_bytes > SEMDEDUP_BLOCKS_PERSIST_MAX_BYTES
+        ):
+            blocks = assign_frame
+        else:
+            blocks = track_persist(assign_frame)
         # Chunk-pair parallelism: one task per BLOCK serializes on a
         # skewed cluster (measured: a straggler block pinned the 300k
         # probe arm to one core for 15+ min while 31 sat idle). Blocks
@@ -1773,30 +1830,30 @@ def semdedup_pairs(
                 F.greatest("ch", "other").alias("cb"),
             )
         )
-    # Scorer-exchange width = k, the algorithm's own parallel unit
-    # count (round 14, guide §2.2/§2.5): the per-group GEMM's cost is
-    # Σ|block|² — quadratic in group size, invisible to AQE's
-    # byte-based coalescing, which at small byte volumes collapses
-    # the exchange to ONE post-shuffle task and runs every block's
-    # GEMM serially in one Python worker (measured at sf0.1: 0.88 →
-    # 0.70 s on the scorer subplan from this line alone, identical
-    # output). An explicit repartition(k) pins one task per block —
-    # exactly the "one task per (block, ca, cb)" contract the
-    # chunk-pair machinery documents — and is scale-adaptive, not
-    # local-core-tuned: k = k_for(n) ∝ n, so at 100M vectors this is
-    # ~25k tasks of ~the designed ≤1 s GEMM each, while chunk pairs
-    # of an oversized block hash across the same width. The groupBy
-    # reuses the exchange (hashpartitioning on the same keys), so
-    # the plan still carries exactly one data shuffle.
-    scored = (
-        chunked.repartition(max(1, k), "block", "ca", "cb")
-        .groupBy("block", "ca", "cb")
-        .applyInPandas(
-            _block_scorer(threshold, coarse=coarse_score),
-            schema=(
-                "id_a long, id_b long, dot long, n2_a long, n2_b long"
-            ),
-        )
+    # Scorer-exchange width (round 14, guide §2.2/§2.5): the
+    # per-group GEMM's cost is Σ|block|² — quadratic in group size
+    # and invisible to AQE's byte-based coalescing. In the TINY
+    # regime (the n_hint ≤ TARGET_CHUNK fast path: whole corpus a
+    # few thousand rows) that coalescing collapses the exchange to
+    # ONE post-shuffle task and runs every block's GEMM serially in
+    # one Python worker — an explicit repartition(k) pins one task
+    # per block (measured at sf0.1: 0.88 → 0.70 s on the scorer
+    # subplan, identical output). In the census regime the blocks
+    # carry real bytes (≥ MBs per block) and AQE's coalescing
+    # already yields well-sized multi-block tasks; pinning k tasks
+    # there is a TINY-TASK regression, measured at the 8M rung
+    # (k=8080 single-block tasks: e2e 1353 s vs the r13 AQE-width
+    # 542 s, SEMDEDUP_8M_TUNE_PROBE.json) — so the pin applies only
+    # where the collapse was the measured problem. Either way the
+    # groupBy reuses the one data shuffle.
+    grouped = chunked
+    if n_hint is not None and n_hint <= SEMDEDUP_TARGET_CHUNK:
+        grouped = chunked.repartition(max(1, k), "block", "ca", "cb")
+    scored = grouped.groupBy("block", "ca", "cb").applyInPandas(
+        _block_scorer(threshold, coarse=coarse_score),
+        schema=(
+            "id_a long, id_b long, dot long, n2_a long, n2_b long"
+        ),
     )
     return (
         scored.select(
@@ -1820,6 +1877,21 @@ _GEMM_TILE_CELLS = 1 << 24
 #: pairs so no single task owns more than ~TARGET² /2 ≈ 3.4e7 pair
 #: scores (~1 s of GEMM) — the straggler bound for skewed clusters.
 SEMDEDUP_TARGET_CHUNK = 8192
+
+#: Byte budget above which semdedup_pairs stops persisting the
+#: blocks frame and recomputes the assign per consumer instead
+#: (round 14, guide §5). The frame is n·m·(dim·8 + ~48 B overhead);
+#: at the 8M-vector rung that is ~17 GB, which displaced execution
+#: memory until the default-heap (8 g) end-to-end run died with JVM
+#: heap OOM + crashed Python workers (SEMDEDUP_8M_TUNE_PROBE.json)
+#: — while the recompute alternative is one bounded extra n·√k
+#: assign pass (45 s at 8M, measured). 2 GiB keeps the cache well
+#: under the default heap's storage share; override via env for
+#: bigger executors (production fleets size this to executor
+#: storage memory, not to this sandbox's 8 g).
+SEMDEDUP_BLOCKS_PERSIST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SEMDEDUP_PERSIST_MAX_BYTES", 2 << 30)
+)
 
 
 def _block_scorer(threshold: float, coarse: bool = False):

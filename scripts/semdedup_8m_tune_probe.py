@@ -168,6 +168,12 @@ def main() -> None:
                 threshold=THRESHOLD,
                 ratio=RATIO,
                 fit_sample_mod=fit_sample_mod_for(n_total, k),
+                # catalog hints, as the registry query passes them:
+                # engages the round-14 memory-adaptive persist skip
+                # (the first run of this probe OOM'd the 8 g heap on
+                # the ~17 GB blocks cache without them)
+                n_hint=n_total,
+                dim_hint=64,
             ).collect()
         }
         out["end_to_end_8m"] = {

@@ -892,6 +892,39 @@ def test_semdedup_chunk_split_equals_unchunked(spark, monkeypatch):
     assert base, "fixtures must plant semantic dups"
 
 
+def test_semdedup_persist_skip_equals_persisted(spark, monkeypatch):
+    """Round-14 memory-adaptive persist (guide §5): when the caller's
+    catalog hints prove the blocks frame over
+    SEMDEDUP_BLOCKS_PERSIST_MAX_BYTES, semdedup_pairs recomputes the
+    (deterministic) assign per consumer instead of caching ~n·m·dim·8
+    bytes — the 8M end-to-end OOM'd the default heap through exactly
+    that cache (SEMDEDUP_8M_TUNE_PROBE.json). Forcing the budget to
+    1 byte (every corpus over it) must reproduce the persisted
+    census path's pair set and cosines exactly; n_hint > the corpus
+    keeps the census machinery (not the no-chunk fast path) engaged
+    so the skip branch itself is what runs."""
+    from database_join_spark.catalog import table
+    from database_join_spark.operators import similarity as S
+
+    emb = table(spark, SF_DIR, "embeddings")
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in S.semdedup_pairs(
+                emb, k=10, iterations=3, m=4, threshold=0.4, **kw
+            ).collect()
+        )
+
+    # census path, persisted (hints absent -> budget not consulted)
+    base = pairs(n_hint=None)
+    # census path, persist SKIPPED (hints present, budget forced to 1)
+    monkeypatch.setattr(S, "SEMDEDUP_BLOCKS_PERSIST_MAX_BYTES", 1)
+    skipped = pairs(n_hint=10**6, dim_hint=64)
+    assert skipped == base
+    assert base, "fixtures must plant semantic dups"
+
+
 def test_no_inferred_expensive_filters(spark):
     """Round-10 regression pin for two Catalyst inlining traps:
     (1) InferFiltersFromGenerate + CollapseProject turn a two-step
